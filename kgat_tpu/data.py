@@ -1,0 +1,188 @@
+"""Data layer: dataset loaders, CKG construction, and synthetic data.
+
+TPU-native counterpart of the reference's data loader (SURVEY.md §2.1,
+`jennyzhang0215/DGL-KGAT` dataloader.py — reconstructed, mount empty).
+File formats (SURVEY.md §2.4, original KGAT release):
+
+  train.txt / test.txt : one user per line: ``uid iid iid ...``
+  kg_final.txt         : one triple per line: ``h r t`` (ids already remapped,
+                         items occupy entity ids [0, n_items))
+
+Everything here is host-side numpy; the output is a :class:`Dataset` whose
+``build()`` produces the device-side :class:`~kgat_tpu.graph.Graph`.
+No real datasets ship with this machine, so :func:`synthetic_dataset`
+generates structurally-faithful data (power-law-ish degrees) at any scale
+for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from kgat_tpu.graph import CKGMeta, Graph, build_ckg
+
+# Try the native (C++) fast loader first; fall back to numpy.
+try:  # pragma: no cover - exercised when the native lib is built
+    from kgat_tpu.native import parse_user_items as _native_parse
+except Exception:  # noqa: BLE001
+    _native_parse = None
+
+
+@dataclasses.dataclass
+class Dataset:
+    """A loaded recsys+KG dataset, host-side."""
+
+    name: str
+    cf_train: np.ndarray            # (n_train, 2) int64 (user, item)
+    cf_test: np.ndarray             # (n_test, 2) int64
+    kg_triples: np.ndarray          # (n_triples, 3) int64 (h, r, t)
+    n_users: int
+    n_items: int
+    n_entities: int
+    n_relations_kg: int
+
+    # Derived, filled in __post_init__:
+    train_user_dict: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
+    test_user_dict: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.train_user_dict:
+            self.train_user_dict = _group_by_user(self.cf_train)
+        if not self.test_user_dict:
+            self.test_user_dict = _group_by_user(self.cf_test)
+
+    @property
+    def n_cf_train(self) -> int:
+        return len(self.cf_train)
+
+    @property
+    def n_kg_train(self) -> int:
+        return len(self.kg_triples)
+
+    def build(self, *, edge_block: int = 8, rel_block: int = 8
+              ) -> Tuple[Graph, CKGMeta]:
+        """Construct the collaborative knowledge graph from train CF + KG."""
+        return build_ckg(
+            self.cf_train, self.kg_triples,
+            n_users=self.n_users, n_entities=self.n_entities,
+            n_items=self.n_items, n_relations_kg=self.n_relations_kg,
+            edge_block=edge_block, rel_block=rel_block,
+        )
+
+
+def _group_by_user(pairs: np.ndarray) -> Dict[int, np.ndarray]:
+    d: Dict[int, List[int]] = {}
+    for u, i in pairs:
+        d.setdefault(int(u), []).append(int(i))
+    return {u: np.asarray(sorted(set(v)), dtype=np.int64) for u, v in d.items()}
+
+
+def _parse_user_items(path: str) -> np.ndarray:
+    """Parse ``uid iid iid ...`` lines -> (n, 2) pairs. Native-accelerated."""
+    if _native_parse is not None:
+        return _native_parse(path)
+    pairs = []
+    with open(path) as f:
+        for line in f:
+            toks = line.split()
+            if len(toks) < 2:
+                continue
+            u = int(toks[0])
+            for t in toks[1:]:
+                pairs.append((u, int(t)))
+    return np.asarray(pairs, dtype=np.int64)
+
+
+def load_dataset(root: str, name: str) -> Dataset:
+    """Load a dataset in the reference's on-disk format (amazon-book etc.)."""
+    ddir = os.path.join(root, name)
+    train = _parse_user_items(os.path.join(ddir, "train.txt"))
+    test = _parse_user_items(os.path.join(ddir, "test.txt"))
+    kg = np.loadtxt(os.path.join(ddir, "kg_final.txt"), dtype=np.int64)
+    kg = kg.reshape(-1, 3)
+    # Deduplicate triples as the reference loader does.
+    kg = np.unique(kg, axis=0)
+    n_users = int(max(train[:, 0].max(), test[:, 0].max())) + 1
+    n_items = int(max(train[:, 1].max(), test[:, 1].max())) + 1
+    n_entities = int(max(kg[:, 0].max(), kg[:, 2].max(), n_items - 1)) + 1
+    n_relations = int(kg[:, 1].max()) + 1
+    return Dataset(
+        name=name, cf_train=train, cf_test=test, kg_triples=kg,
+        n_users=n_users, n_items=n_items, n_entities=n_entities,
+        n_relations_kg=n_relations,
+    )
+
+
+def synthetic_dataset(
+    seed: int = 0,
+    n_users: int = 200,
+    n_items: int = 150,
+    n_entities: int = 300,
+    n_relations_kg: int = 6,
+    n_interactions: int = 2000,
+    n_triples: int = 1500,
+    test_frac: float = 0.2,
+    name: str = "synthetic",
+) -> Dataset:
+    """Generate a structurally-faithful synthetic dataset.
+
+    Item/entity popularity follows a Zipf-like law (as in real recsys data);
+    every user has at least one train and one test interaction so evaluation
+    is well-defined.
+    """
+    rng = np.random.default_rng(seed)
+    assert n_entities >= n_items
+
+    # Zipf-ish item popularity.
+    item_p = 1.0 / (np.arange(n_items) + 1.0)
+    item_p = rng.permutation(item_p)
+    item_p /= item_p.sum()
+
+    users = rng.integers(0, n_users, size=n_interactions)
+    items = rng.choice(n_items, size=n_interactions, p=item_p)
+    # Guarantee >= 2 interactions per user (1 train + 1 test).
+    base_u = np.repeat(np.arange(n_users), 2)
+    base_i = rng.choice(n_items, size=2 * n_users, p=item_p)
+    users = np.concatenate([base_u, users])
+    items = np.concatenate([base_i, items])
+    pairs = np.unique(np.stack([users, items], axis=1), axis=0)
+
+    # Per-user split: last test_frac of each user's items to test.
+    order = rng.permutation(len(pairs))
+    pairs = pairs[order]
+    sort = np.argsort(pairs[:, 0], kind="stable")
+    pairs = pairs[sort]
+    train_rows, test_rows = [], []
+    for u in np.unique(pairs[:, 0]):
+        rows = pairs[pairs[:, 0] == u]
+        k = max(1, int(len(rows) * test_frac))
+        if len(rows) - k < 1:
+            k = len(rows) - 1
+        test_rows.append(rows[:k])
+        train_rows.append(rows[k:])
+    cf_train = np.concatenate(train_rows)
+    cf_test = np.concatenate(test_rows)
+
+    ent_p = 1.0 / (np.arange(n_entities) + 1.0)
+    ent_p = rng.permutation(ent_p)
+    ent_p /= ent_p.sum()
+    h = rng.choice(n_entities, size=n_triples, p=ent_p)
+    t = rng.choice(n_entities, size=n_triples, p=ent_p)
+    r = rng.integers(0, n_relations_kg, size=n_triples)
+    # Ensure every item appears in the KG (items are entities [0, n_items)).
+    h = np.concatenate([h, np.arange(n_items)])
+    t = np.concatenate([t, rng.choice(n_entities, size=n_items, p=ent_p)])
+    r = np.concatenate([r, rng.integers(0, n_relations_kg, size=n_items)])
+    keep = h != t
+    kg = np.unique(np.stack([h[keep], r[keep], t[keep]], axis=1), axis=0)
+
+    return Dataset(
+        name=name, cf_train=cf_train.astype(np.int64),
+        cf_test=cf_test.astype(np.int64), kg_triples=kg.astype(np.int64),
+        n_users=n_users, n_items=n_items, n_entities=n_entities,
+        n_relations_kg=n_relations_kg,
+    )

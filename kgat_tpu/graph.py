@@ -1,0 +1,245 @@
+"""Graph core: a static-shape, TPU-friendly graph pytree + host-side builders.
+
+TPU-native replacement for the reference stack's graph layer (SURVEY.md §2.2:
+DGL's C++ graph index `src/graph/unit_graph.cc` — COO/CSR storage, format
+conversion and caching). Instead of a mutable C++ object behind an FFI, the
+graph here is an immutable pytree of padded, statically-shaped device arrays,
+built once on the host and closed over by jitted functions.
+
+Design decisions (all driven by XLA's static-shape compilation model):
+
+* **Canonical edge order = destination-sorted.** Edge-softmax in the KGAT
+  model normalizes attention over the triples headed by each node
+  (SURVEY.md §2.8 A5); we orient every edge tail->head so dst == head, and
+  dst-sorting makes both segment-softmax and the SpMM segment-reduce
+  contiguous per-segment scans (and lets Pallas kernels carry a running
+  accumulator across edge tiles).
+* **Padding with a sentinel segment.** Edges are padded to a block multiple;
+  pad edges get ``dst == n_nodes`` (an extra, dead segment) and ``src == 0``
+  so all gathers stay in bounds. Segment ops run with
+  ``num_segments == n_nodes + 1`` and the last row is dropped.
+* **Relation-blocked attention layout.** The TransR attention SDDMM
+  (SURVEY.md §2.8 A4) needs a per-relation 64x64 projection; computing it as
+  one dense matmul per relation keeps the MXU busy. ``att_gather`` is a
+  static permutation from a relation-blocked (per-relation padded) layout to
+  canonical edge slots; per-relation block extents are static metadata so the
+  jitted model unrolls into R fixed-shape matmuls.
+
+Reference parity notes: the CKG construction conventions mirror
+``jennyzhang0215/DGL-KGAT``'s data loader (reconstructed; the reference
+mount was empty — see SURVEY.md "Provenance warning"): entity ids occupy
+``[0, n_entities)``, user node ids are ``n_entities + uid``, KG triples get
+inverse counterparts with relation id ``r + n_relations_kg``, and user-item
+interactions become two extra relations (interact / interacted-by).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """Padded, dst-sorted COO + CSR graph pytree.
+
+    Array fields are pytree leaves (device arrays); int/tuple fields are
+    static metadata baked into jitted programs.
+    """
+
+    # --- device arrays (pytree data) ---
+    src: jax.Array          # (E_pad,) int32, tail of each edge (message source)
+    dst: jax.Array          # (E_pad,) int32, head of each edge; == n_nodes for pads
+    etype: jax.Array        # (E_pad,) int32 relation id; 0 for pads
+    edge_mask: jax.Array    # (E_pad,) float32, 1.0 real / 0.0 pad
+    row_offsets: jax.Array  # (n_nodes + 2,) int32 CSR offsets over dst segments
+    att_gather: jax.Array   # (E_att_pad,) int32: relation-blocked pos -> canonical edge slot
+
+    # --- static metadata (pytree aux) ---
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+    n_edges: int = dataclasses.field(metadata=dict(static=True))      # real edges
+    n_edges_pad: int = dataclasses.field(metadata=dict(static=True))  # padded length
+    n_relations: int = dataclasses.field(metadata=dict(static=True))
+    # ((rel_id, start, real_count, padded_count), ...) in att_gather layout
+    rel_blocks: Tuple[Tuple[int, int, int, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+
+    @property
+    def num_segments(self) -> int:
+        """Segment count for segment ops (includes the pad sentinel)."""
+        return self.n_nodes + 1
+
+
+def build_graph(
+    src: np.ndarray,
+    dst: np.ndarray,
+    etype: np.ndarray,
+    n_nodes: int,
+    n_relations: int,
+    *,
+    edge_block: int = 8,
+    rel_block: int = 8,
+) -> Graph:
+    """Build a :class:`Graph` from host-side COO arrays.
+
+    Replaces DGL's C++ COO->CSR conversion + format caching (SURVEY.md §2.2).
+    Sorting/packing happens once on the host in numpy (a C++ fast path with
+    identical output lives in kgat_tpu/native); the result is immutable.
+    """
+    src = np.asarray(src, dtype=np.int32)
+    dst = np.asarray(dst, dtype=np.int32)
+    etype = np.asarray(etype, dtype=np.int32)
+    n_edges = int(src.shape[0])
+    if not (dst < n_nodes).all() or not (dst >= 0).all():
+        raise ValueError("dst out of range")
+    if not (src < n_nodes).all() or not (src >= 0).all():
+        raise ValueError("src out of range")
+    if not (etype < n_relations).all():
+        raise ValueError("etype out of range")
+
+    # Canonical order: stable sort by dst.
+    order = np.argsort(dst, kind="stable")
+    src, dst, etype = src[order], dst[order], etype[order]
+
+    # Pad edges to a block multiple; always leave >= 1 pad slot so the
+    # attention layout has a dead slot to point at.
+    n_pad = max(_round_up(n_edges + 1, edge_block), edge_block)
+    pad = n_pad - n_edges
+    src_p = np.concatenate([src, np.zeros(pad, np.int32)])
+    dst_p = np.concatenate([dst, np.full(pad, n_nodes, np.int32)])
+    ety_p = np.concatenate([etype, np.zeros(pad, np.int32)])
+    mask = np.concatenate([np.ones(n_edges, np.float32), np.zeros(pad, np.float32)])
+
+    # CSR offsets over dst segments (incl. sentinel segment n_nodes).
+    row_offsets = np.searchsorted(dst_p, np.arange(n_nodes + 2), side="left")
+    row_offsets = row_offsets.astype(np.int32)
+
+    # Relation-blocked attention layout: stable argsort by etype over the
+    # canonical order, then pad each relation block to rel_block with the
+    # dead slot (index n_edges, the first pad slot).
+    rel_order = np.argsort(ety_p[:n_edges], kind="stable")
+    rel_sorted_ety = ety_p[:n_edges][rel_order]
+    dead = np.int32(n_edges)
+    gather_parts = []
+    rel_blocks = []
+    pos = 0
+    for r in range(n_relations):
+        lo = np.searchsorted(rel_sorted_ety, r, side="left")
+        hi = np.searchsorted(rel_sorted_ety, r, side="right")
+        cnt = int(hi - lo)
+        cnt_pad = _round_up(max(cnt, 0), rel_block) if cnt > 0 else 0
+        if cnt_pad == 0:
+            continue
+        part = np.full(cnt_pad, dead, np.int32)
+        part[:cnt] = rel_order[lo:hi].astype(np.int32)
+        gather_parts.append(part)
+        rel_blocks.append((r, pos, cnt, cnt_pad))
+        pos += cnt_pad
+    att_gather = (
+        np.concatenate(gather_parts) if gather_parts else np.zeros(0, np.int32)
+    )
+
+    return Graph(
+        src=jnp.asarray(src_p),
+        dst=jnp.asarray(dst_p),
+        etype=jnp.asarray(ety_p),
+        edge_mask=jnp.asarray(mask),
+        row_offsets=jnp.asarray(row_offsets),
+        att_gather=jnp.asarray(att_gather),
+        n_nodes=int(n_nodes),
+        n_edges=n_edges,
+        n_edges_pad=int(n_pad),
+        n_relations=int(n_relations),
+        rel_blocks=tuple(rel_blocks),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class CKGMeta:
+    """Static description of a collaborative knowledge graph's id spaces."""
+
+    n_users: int
+    n_entities: int   # includes items: item ids are entity ids [0, n_items)
+    n_items: int
+    n_relations_kg: int   # original KG relations, before inverses/interact
+    n_relations: int      # total relation ids in the CKG (2*kg + 2)
+    rel_interact: int     # etype of the user<-item "interact" edges (dst=user)
+    rel_interacted_by: int
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n_users + self.n_entities
+
+    def user_node(self, uid):
+        """Map a user id to its CKG node id (users sit after entities)."""
+        return self.n_entities + uid
+
+
+def build_ckg(
+    cf_pairs: np.ndarray,
+    kg_triples: np.ndarray,
+    n_users: int,
+    n_entities: int,
+    n_items: int,
+    n_relations_kg: int,
+    *,
+    edge_block: int = 8,
+    rel_block: int = 8,
+) -> Tuple[Graph, CKGMeta]:
+    """Construct the collaborative knowledge graph (SURVEY.md §2.4).
+
+    ``cf_pairs``: (n_inter, 2) int array of (user, item).
+    ``kg_triples``: (n_trip, 3) int array of (h, r, t).
+
+    Edge orientation: every triple (h, r, t) becomes a message edge t -> h
+    (src=t, dst=h), so that per-dst edge-softmax normalizes over the triples
+    headed by h — the KGAT paper's softmax direction (SURVEY.md §2.8 A5, the
+    #1 silent-divergence risk called out there).
+
+    Relations: r in [0, R) original; r+R the inverse triple (t, r+R, h);
+    2R = interact (edge item -> user, i.e. triple (u, interact, i));
+    2R+1 = interacted-by (edge user -> item).
+    """
+    cf_pairs = np.asarray(cf_pairs, dtype=np.int64)
+    kg_triples = np.asarray(kg_triples, dtype=np.int64)
+    R = int(n_relations_kg)
+    meta = CKGMeta(
+        n_users=int(n_users),
+        n_entities=int(n_entities),
+        n_items=int(n_items),
+        n_relations_kg=R,
+        n_relations=2 * R + 2,
+        rel_interact=2 * R,
+        rel_interacted_by=2 * R + 1,
+    )
+
+    h, r, t = kg_triples[:, 0], kg_triples[:, 1], kg_triples[:, 2]
+    u = meta.user_node(cf_pairs[:, 0])
+    i = cf_pairs[:, 1]
+
+    # (src=t, dst=h, r)           : original triple, message tail->head
+    # (src=h, dst=t, r+R)         : inverse triple
+    # (src=i, dst=u, 2R)          : interact        — softmax over items per user
+    # (src=u, dst=i, 2R+1)        : interacted-by   — softmax over users per item
+    src = np.concatenate([t, h, i, u])
+    dst = np.concatenate([h, t, u, i])
+    ety = np.concatenate([r, r + R, np.full(len(u), 2 * R), np.full(len(u), 2 * R + 1)])
+
+    g = build_graph(
+        src, dst, ety,
+        n_nodes=meta.n_nodes,
+        n_relations=meta.n_relations,
+        edge_block=edge_block,
+        rel_block=rel_block,
+    )
+    return g, meta

@@ -1,0 +1,83 @@
+"""Reference (pure-XLA) message-passing ops.
+
+These are the semantics oracle for the Pallas kernels and the CPU/debug
+path. Each op mirrors one native DGL component (SURVEY.md §2.2):
+
+  spmm            <- g-SpMM: `update_all(fn.u_mul_e('h','w','m'), fn.sum)`
+                     (DGL src/array/{cpu,cuda}/spmm.*, reconstructed)
+  sddmm_dot       <- g-SDDMM: per-edge dot of endpoint features
+                     (DGL src/array/{cpu,cuda}/sddmm.*, reconstructed)
+  segment_softmax <- dgl.ops.edge_softmax (per-dst segment softmax)
+  segment_sum/max <- DGL segment-reduce kernels
+
+All ops take the padded dst-sorted :class:`kgat_tpu.graph.Graph`; pad edges
+(dst == n_nodes) land in the sentinel segment and are masked out. Autograd
+is ordinary JAX AD through gather/segment_sum, which reproduces DGL's
+"SpMM backward = SDDMM on the reverse graph" rule automatically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from kgat_tpu.graph import Graph
+
+
+def segment_sum(graph: Graph, edge_vals: jax.Array) -> jax.Array:
+    """Sum edge values into their dst segments. Returns (n_nodes, ...)."""
+    out = jax.ops.segment_sum(
+        edge_vals, graph.dst, num_segments=graph.num_segments,
+        indices_are_sorted=True,
+    )
+    return out[: graph.n_nodes]
+
+def segment_max(graph: Graph, edge_vals: jax.Array) -> jax.Array:
+    """Max of edge values per dst segment (-inf for empty segments)."""
+    out = jax.ops.segment_max(
+        edge_vals, graph.dst, num_segments=graph.num_segments,
+        indices_are_sorted=True,
+    )
+    return out[: graph.n_nodes]
+
+
+def spmm(graph: Graph, edge_w: jax.Array, x: jax.Array) -> jax.Array:
+    """out[v] = sum over edges (u -> v) of edge_w[e] * x[u].
+
+    edge_w: (E_pad,) per-edge scalar weight (attention); x: (n_nodes, d).
+    Pad edges contribute to the dropped sentinel segment only, but we mask
+    the weight anyway so NaN/Inf in pad slots can never propagate.
+    """
+    w = edge_w * graph.edge_mask
+    msgs = x[graph.src] * w[:, None]
+    return segment_sum(graph, msgs)
+
+
+def sddmm_dot(graph: Graph, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Per-edge dot product: out[e] = <a[src_e], b[dst_e]>. (E_pad,)."""
+    # Clamp the sentinel dst (n_nodes) gather; result is masked by callers.
+    dst = jnp.minimum(graph.dst, graph.n_nodes - 1)
+    return jnp.sum(a[graph.src] * b[dst], axis=-1)
+
+
+def segment_softmax(graph: Graph, logits: jax.Array) -> jax.Array:
+    """Per-dst-segment softmax over edge logits, pad edges -> 0.
+
+    Matches dgl.ops.edge_softmax semantics: subtract the segment max, exp,
+    divide by the segment sum (SURVEY.md §2.2 edge_softmax row).
+    """
+    neg = jnp.finfo(logits.dtype).min
+    masked = jnp.where(graph.edge_mask > 0, logits, neg)
+    maxes = jax.ops.segment_max(
+        masked, graph.dst, num_segments=graph.num_segments,
+        indices_are_sorted=True,
+    )
+    # Empty segments produce -inf/min; clamp so the broadcast stays finite.
+    maxes = jnp.maximum(maxes, neg)
+    shifted = jnp.exp(masked - maxes[graph.dst]) * graph.edge_mask
+    denom = jax.ops.segment_sum(
+        shifted, graph.dst, num_segments=graph.num_segments,
+        indices_are_sorted=True,
+    )
+    denom = jnp.where(denom > 0, denom, 1.0)
+    return shifted / denom[graph.dst]
