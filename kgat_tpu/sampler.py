@@ -1,0 +1,242 @@
+"""Minibatch samplers: BPR (u, i+, i-) and TransR (h, r, t+, t-).
+
+The reference samples on the host with numpy rejection sampling
+(SURVEY.md §2.1 CF/KG batch sampler rows, §3.3/§3.4). This module provides
+both that host path (bit-compatible semantics) and the TPU-native
+**device-side sampler** the north-star requires (BASELINE.json:5
+"minibatch BPR sampler -> device-side negative sampling"): uniform draws
+with `jax.random`, membership tests via vectorized binary search over the
+sorted interaction/triple tables that live in HBM, and a bounded rejection
+loop expressed as `lax.scan` (no data-dependent Python control flow, so the
+whole epoch can be one compiled program).
+
+Rejection-failure handling: after `max_tries` the row keeps its last
+candidate but gets weight 0; losses consume the weight vector, so a failed
+row simply drops out of the batch mean. Collision probability per try is
+deg(u)/n_items (~1e-3 on the reference datasets), so weight-0 rows are
+~1e-3^max_tries rare — statistically negligible bias (SURVEY.md hard-part #5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Sorted-pair membership: the device-side replacement for `x in train_dict[u]`.
+# ---------------------------------------------------------------------------
+
+def pair_lower_bound(sorted_a: jax.Array, sorted_b: jax.Array,
+                     qa: jax.Array, qb: jax.Array) -> jax.Array:
+    """Vectorized lexicographic lower bound over pairs (a, b).
+
+    sorted_a/sorted_b: (n,) arrays sorted by (a, b). qa/qb: (m,) queries.
+    Returns (m,) indices of the first pair >= (qa, qb).
+    """
+    n = sorted_a.shape[0]
+    steps = max(1, int(np.ceil(np.log2(n + 1))))
+    lo = jnp.zeros(qa.shape, jnp.int32)
+    hi = jnp.full(qa.shape, n, jnp.int32)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        midc = jnp.minimum(mid, n - 1)
+        a, b = sorted_a[midc], sorted_b[midc]
+        less = (a < qa) | ((a == qa) & (b < qb))
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def pair_member(sorted_a: jax.Array, sorted_b: jax.Array,
+                qa: jax.Array, qb: jax.Array) -> jax.Array:
+    """True where (qa, qb) is present in the sorted pair table."""
+    n = sorted_a.shape[0]
+    lb = pair_lower_bound(sorted_a, sorted_b, qa, qb)
+    lbc = jnp.minimum(lb, n - 1)
+    return (lb < n) & (sorted_a[lbc] == qa) & (sorted_b[lbc] == qb)
+
+
+# ---------------------------------------------------------------------------
+# Device-side CF sampler.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CFSampleTable:
+    """Device-resident CF training interactions, sorted by (user, item)."""
+
+    users: jax.Array       # (n_train,) int32 sorted
+    items: jax.Array       # (n_train,) int32, sorted within each user
+    user_ptr: jax.Array    # (n_users + 1,) int32 CSR offsets into items
+    active_users: jax.Array  # (n_active,) users with >= 1 interaction
+    n_items: int = dataclasses.field(metadata=dict(static=True))
+    max_tries: int = dataclasses.field(default=16, metadata=dict(static=True))
+
+    @staticmethod
+    def build(cf_train: np.ndarray, n_users: int, n_items: int,
+              max_tries: int = 16) -> "CFSampleTable":
+        pairs = np.asarray(cf_train, dtype=np.int64)
+        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+        pairs = pairs[order]
+        user_ptr = np.searchsorted(pairs[:, 0], np.arange(n_users + 1))
+        active = np.unique(pairs[:, 0])
+        return CFSampleTable(
+            users=jnp.asarray(pairs[:, 0], jnp.int32),
+            items=jnp.asarray(pairs[:, 1], jnp.int32),
+            user_ptr=jnp.asarray(user_ptr, jnp.int32),
+            active_users=jnp.asarray(active, jnp.int32),
+            n_items=int(n_items),
+            max_tries=int(max_tries),
+        )
+
+
+def sample_cf_batch(table: CFSampleTable, rng: jax.Array, batch_size: int
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Device-side (u, i+, i-, weight) batch.
+
+    Semantics mirror the reference's generate_cf_batch: users drawn uniformly
+    from users with interactions, one positive uniformly from the user's
+    items, one negative rejection-sampled outside them.
+    """
+    r_user, r_pos, r_neg = jax.random.split(rng, 3)
+    uidx = jax.random.randint(r_user, (batch_size,), 0,
+                              table.active_users.shape[0])
+    u = table.active_users[uidx]
+    lo, hi = table.user_ptr[u], table.user_ptr[u + 1]
+    pos_off = jax.random.randint(r_pos, (batch_size,), 0, 1 << 30)
+    i_pos = table.items[lo + pos_off % jnp.maximum(hi - lo, 1)]
+
+    def try_neg(state, key):
+        cand, ok = state
+        draw = jax.random.randint(key, (batch_size,), 0, table.n_items)
+        is_pos = pair_member(table.users, table.items, u, draw)
+        accept = (~ok) & (~is_pos)
+        return (jnp.where(accept, draw, cand), ok | accept), None
+
+    keys = jax.random.split(r_neg, table.max_tries)
+    (i_neg, ok), _ = jax.lax.scan(try_neg,
+                                  (jnp.zeros(batch_size, jnp.int32),
+                                   jnp.zeros(batch_size, bool)), keys)
+    return u, i_pos, i_neg, ok.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Device-side KG sampler.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KGSampleTable:
+    """Device-resident KG triples (with inverses), sorted by ((h, r), t).
+
+    hr = h * n_relations + r packed into int32 (h < 2^18, r < 2^9 on all
+    reference datasets; the builder checks).
+    """
+
+    h: jax.Array         # (n_kg,) int32, in *sampling* order (original)
+    r: jax.Array
+    t: jax.Array
+    hr_sorted: jax.Array  # (n_kg,) int32 packed key, sorted
+    t_sorted: jax.Array   # (n_kg,) int32 companion
+    n_entities: int = dataclasses.field(metadata=dict(static=True))
+    n_relations: int = dataclasses.field(metadata=dict(static=True))
+    max_tries: int = dataclasses.field(default=16, metadata=dict(static=True))
+
+    @staticmethod
+    def build(triples: np.ndarray, n_entities: int, n_relations: int,
+              max_tries: int = 16) -> "KGSampleTable":
+        tr = np.asarray(triples, dtype=np.int64)
+        if n_entities * n_relations >= 2 ** 31:
+            raise ValueError("h*R+r key overflows int32; widen the key")
+        hr = tr[:, 0] * n_relations + tr[:, 1]
+        order = np.lexsort((tr[:, 2], hr))
+        return KGSampleTable(
+            h=jnp.asarray(tr[:, 0], jnp.int32),
+            r=jnp.asarray(tr[:, 1], jnp.int32),
+            t=jnp.asarray(tr[:, 2], jnp.int32),
+            hr_sorted=jnp.asarray(hr[order], jnp.int32),
+            t_sorted=jnp.asarray(tr[order, 2], jnp.int32),
+            n_entities=int(n_entities),
+            n_relations=int(n_relations),
+            max_tries=int(max_tries),
+        )
+
+
+def sample_kg_batch(table: KGSampleTable, rng: jax.Array, batch_size: int
+                    ) -> Tuple[jax.Array, ...]:
+    """Device-side (h, r, t+, t-, weight) batch (reference generate_kg_batch)."""
+    r_idx, r_neg = jax.random.split(rng)
+    idx = jax.random.randint(r_idx, (batch_size,), 0, table.h.shape[0])
+    h, r, t_pos = table.h[idx], table.r[idx], table.t[idx]
+    hr = h * table.n_relations + r
+
+    def try_neg(state, key):
+        cand, ok = state
+        draw = jax.random.randint(key, (batch_size,), 0, table.n_entities)
+        exists = pair_member(table.hr_sorted, table.t_sorted, hr, draw)
+        accept = (~ok) & (~exists)
+        return (jnp.where(accept, draw, cand), ok | accept), None
+
+    keys = jax.random.split(r_neg, table.max_tries)
+    (t_neg, ok), _ = jax.lax.scan(try_neg,
+                                  (jnp.zeros(batch_size, jnp.int32),
+                                   jnp.zeros(batch_size, bool)), keys)
+    return h, r, t_pos, t_neg, ok.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Host-side samplers (reference-style numpy rejection sampling).
+# ---------------------------------------------------------------------------
+
+class HostCFSampler:
+    """Numpy sampler with the reference's exact semantics, for parity runs."""
+
+    def __init__(self, train_user_dict, n_items: int, seed: int = 0):
+        self.dict = {u: set(v.tolist()) for u, v in train_user_dict.items()}
+        self.users = np.asarray(sorted(self.dict), dtype=np.int64)
+        self.items_by_user = {u: np.asarray(sorted(s), dtype=np.int64)
+                              for u, s in self.dict.items()}
+        self.n_items = n_items
+        self.rng = np.random.default_rng(seed)
+
+    def sample(self, batch_size: int):
+        u = self.rng.choice(self.users, size=batch_size)
+        i_pos = np.empty(batch_size, np.int64)
+        i_neg = np.empty(batch_size, np.int64)
+        for k, uu in enumerate(u):
+            items = self.items_by_user[int(uu)]
+            i_pos[k] = items[self.rng.integers(len(items))]
+            while True:
+                cand = int(self.rng.integers(self.n_items))
+                if cand not in self.dict[int(uu)]:
+                    i_neg[k] = cand
+                    break
+        return u, i_pos, i_neg
+
+
+class HostKGSampler:
+    def __init__(self, triples: np.ndarray, n_entities: int, seed: int = 0):
+        self.triples = np.asarray(triples, dtype=np.int64)
+        self.existing = set(map(tuple, self.triples.tolist()))
+        self.n_entities = n_entities
+        self.rng = np.random.default_rng(seed)
+
+    def sample(self, batch_size: int):
+        idx = self.rng.integers(len(self.triples), size=batch_size)
+        h, r, t_pos = self.triples[idx].T
+        t_neg = np.empty(batch_size, np.int64)
+        for k in range(batch_size):
+            while True:
+                cand = int(self.rng.integers(self.n_entities))
+                if (int(h[k]), int(r[k]), cand) not in self.existing:
+                    t_neg[k] = cand
+                    break
+        return h, r, t_pos, t_neg

@@ -1,0 +1,282 @@
+"""Alternating-phase KGAT trainer (reference main.py's train loop, TPU-native).
+
+Reference control flow (SURVEY.md §3.1): per epoch, optimize the BPR CF loss
+over all CF minibatches, then the TransR KG loss over all KG minibatches,
+then recompute all edge attentions with no gradient, evaluating every
+``eval_every`` epochs with early stopping on recall@K.
+
+TPU-native restructuring: with device-side negative sampling
+(kgat_tpu.sampler), each phase is ONE jitted ``lax.scan`` over its
+minibatches — the host stays out of the hot loop entirely (the reference
+crosses host->GPU per batch). The host-sampler path (reference-parity
+semantics) keeps a per-batch jitted step instead.
+
+KG phase trains over all CKG triples (KG + inverses + interact relations),
+i.e. the collaborative knowledge graph the paper defines (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kgat_tpu import eval as evaluation
+from kgat_tpu.data import Dataset, load_dataset, synthetic_dataset
+from kgat_tpu.models import kgat
+from kgat_tpu.sampler import (CFSampleTable, KGSampleTable, sample_cf_batch,
+                              sample_kg_batch)
+from kgat_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from kgat_tpu.utils.config import TrainConfig, parse_args
+from kgat_tpu.utils.logging import RunLogger
+
+
+def load_any_dataset(cfg: TrainConfig) -> Dataset:
+    if cfg.dataset == "synthetic":
+        return synthetic_dataset(
+            seed=cfg.seed, n_users=cfg.syn_users, n_items=cfg.syn_items,
+            n_entities=cfg.syn_entities, n_relations_kg=cfg.syn_relations,
+            n_interactions=cfg.syn_interactions, n_triples=cfg.syn_triples)
+    return load_dataset(cfg.data_root, cfg.dataset)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, dataset: Optional[Dataset] = None):
+        self.cfg = cfg
+        self.ds = dataset if dataset is not None else load_any_dataset(cfg)
+        self.graph, self.meta = self.ds.build()
+        self.logger = RunLogger(cfg.log_dir, cfg.run_name)
+
+        # Samplers: CF over train interactions; KG over all CKG triples.
+        self.cf_table = CFSampleTable.build(
+            self.ds.cf_train, self.meta.n_users, self.meta.n_items)
+        g = self.graph
+        real = slice(0, g.n_edges)
+        ckg_triples = np.stack([
+            np.asarray(g.dst)[real], np.asarray(g.etype)[real],
+            np.asarray(g.src)[real]], axis=1)
+        self.kg_table = KGSampleTable.build(
+            ckg_triples, n_entities=self.meta.n_nodes,
+            n_relations=self.meta.n_relations)
+
+        self.eval_plan = evaluation.make_eval_plan(
+            self.ds.train_user_dict, self.ds.test_user_dict,
+            self.meta.n_items, block=cfg.test_block)
+
+        self.n_cf_batches = max(1, self.ds.n_cf_train // cfg.cf_batch_size)
+        self.n_kg_batches = max(1, g.n_edges // cfg.kg_batch_size)
+
+        self.rng = jax.random.key(cfg.seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.params = kgat.init_params(
+            init_rng, self.meta.n_nodes, self.meta.n_relations, cfg.model)
+        # One shared Adam over all params, both phases (the torch reference
+        # drives both losses through a single optimizer instance).
+        self.opt = optax.adam(cfg.lr)
+        self.opt_state = self.opt.init(self.params)
+        self.epoch = 0
+        self.best_metric = -1.0
+        self.bad_evals = 0
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        cfg, graph, meta = self.cfg, self.graph, self.meta
+        mcfg = cfg.model
+        opt = self.opt
+
+        def cf_loss_fn(params, att, u, ip, ineg, w, rng):
+            return kgat.cf_loss(params, graph, att, meta, u, ip, ineg, mcfg,
+                                rng=rng, train=True, weight=w)
+
+        def kg_loss_fn(params, h, r, tp, tn, w):
+            return kgat.kg_loss(params, h, r, tp, tn, mcfg, weight=w)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def cf_epoch(params, opt_state, att, rng):
+            def step(carry, key):
+                params, opt_state = carry
+                k_samp, k_drop = jax.random.split(key)
+                u, ip, ineg, w = sample_cf_batch(
+                    self.cf_table, k_samp, cfg.cf_batch_size)
+                loss, grads = jax.value_and_grad(cf_loss_fn)(
+                    params, att, u, ip, ineg, w, k_drop)
+                updates, opt_state = opt.update(grads, opt_state)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            keys = jax.random.split(rng, self.n_cf_batches)
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), keys)
+            return params, opt_state, jnp.mean(losses)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def kg_epoch(params, opt_state, rng):
+            def step(carry, key):
+                params, opt_state = carry
+                h, r, tp, tn, w = sample_kg_batch(
+                    self.kg_table, key, cfg.kg_batch_size)
+                loss, grads = jax.value_and_grad(kg_loss_fn)(
+                    params, h, r, tp, tn, w)
+                updates, opt_state = opt.update(grads, opt_state)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            keys = jax.random.split(rng, self.n_kg_batches)
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), keys)
+            return params, opt_state, jnp.mean(losses)
+
+        @jax.jit
+        def attention(params):
+            return jax.lax.stop_gradient(
+                kgat.compute_attention(params, graph, mcfg))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def cf_step_host(params, opt_state, att, u, ip, ineg, rng):
+            loss, grads = jax.value_and_grad(cf_loss_fn)(
+                params, att, u, ip, ineg, None, rng)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def kg_step_host(params, opt_state, h, r, tp, tn):
+            loss, grads = jax.value_and_grad(kg_loss_fn)(
+                params, h, r, tp, tn, None)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @jax.jit
+        def all_embed_fn(params, att):
+            return kgat.propagate(params, graph, att, mcfg)
+
+        self._cf_epoch = cf_epoch
+        self._kg_epoch = kg_epoch
+        self._attention = attention
+        self._cf_step_host = cf_step_host
+        self._kg_step_host = kg_step_host
+        self._all_embed = all_embed_fn
+
+        if cfg.sampler == "host":
+            from kgat_tpu.sampler import HostCFSampler, HostKGSampler
+            self._host_cf = HostCFSampler(self.ds.train_user_dict,
+                                          self.meta.n_items, cfg.seed)
+            tri = np.stack([np.asarray(graph.dst)[:graph.n_edges],
+                            np.asarray(graph.etype)[:graph.n_edges],
+                            np.asarray(graph.src)[:graph.n_edges]], axis=1)
+            self._host_kg = HostKGSampler(tri, self.meta.n_nodes, cfg.seed)
+
+    # ------------------------------------------------------------------
+    def train_one_epoch(self) -> Tuple[float, float]:
+        cfg = self.cfg
+        self.rng, r_cf, r_kg = jax.random.split(self.rng, 3)
+        att = self._attention(self.params)
+        if cfg.sampler == "device":
+            self.params, self.opt_state, cf_l = self._cf_epoch(
+                self.params, self.opt_state, att, r_cf)
+            self.params, self.opt_state, kg_l = self._kg_epoch(
+                self.params, self.opt_state, r_kg)
+            return float(cf_l), float(kg_l)
+        cf_losses, kg_losses = [], []
+        for b in range(self.n_cf_batches):
+            u, ip, ineg = self._host_cf.sample(cfg.cf_batch_size)
+            r_cf, sub = jax.random.split(r_cf)
+            self.params, self.opt_state, l = self._cf_step_host(
+                self.params, self.opt_state, att,
+                jnp.asarray(u, jnp.int32), jnp.asarray(ip, jnp.int32),
+                jnp.asarray(ineg, jnp.int32), sub)
+            cf_losses.append(float(l))
+        for b in range(self.n_kg_batches):
+            h, r, tp, tn = self._host_kg.sample(cfg.kg_batch_size)
+            self.params, self.opt_state, l = self._kg_step_host(
+                self.params, self.opt_state,
+                jnp.asarray(h, jnp.int32), jnp.asarray(r, jnp.int32),
+                jnp.asarray(tp, jnp.int32), jnp.asarray(tn, jnp.int32))
+            kg_losses.append(float(l))
+        return float(np.mean(cf_losses)), float(np.mean(kg_losses))
+
+    def evaluate(self) -> dict:
+        att = self._attention(self.params)
+        all_embed = self._all_embed(self.params, att)
+        return evaluation.evaluate(all_embed, self.meta, self.eval_plan,
+                                   k=self.cfg.k)
+
+    # ------------------------------------------------------------------
+    def ckpt_path(self) -> str:
+        if self.cfg.ckpt_path:
+            return self.cfg.ckpt_path
+        base = self.cfg.log_dir or "."
+        return f"{base}/{self.cfg.run_name}_best"
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        g = self.graph
+        if cfg.resume:
+            try:
+                self.params, self.opt_state, meta, self.rng = load_checkpoint(
+                    self.ckpt_path(), self.params, self.opt_state)
+                self.epoch = meta["epoch"]
+                self.best_metric = meta["best_metric"]
+                self.bad_evals = meta["bad_evals"]
+                self.logger.log("resume", epoch=self.epoch,
+                                best=self.best_metric)
+            except FileNotFoundError:
+                self.logger.log("resume_missing")
+
+        self.logger.log("start", dataset=self.ds.name,
+                        n_nodes=self.meta.n_nodes, n_edges=g.n_edges,
+                        n_relations=self.meta.n_relations,
+                        cf_batches=self.n_cf_batches,
+                        kg_batches=self.n_kg_batches,
+                        aggregator=cfg.model.aggregator,
+                        backend=cfg.model.ops_backend,
+                        sampler=cfg.sampler)
+        final = {}
+        while self.epoch < cfg.epochs:
+            self.epoch += 1
+            t0 = time.time()
+            cf_l, kg_l = self.train_one_epoch()
+            dt = time.time() - t0
+            # Propagation touches every edge per layer, fwd+bwd, per batch.
+            edges = (self.n_cf_batches * len(cfg.model.conv_dims)
+                     * g.n_edges * 3)  # fwd + 2 bwd segment passes
+            self.logger.log("epoch", epoch=self.epoch, cf_loss=cf_l,
+                            kg_loss=kg_l, secs=round(dt, 3),
+                            edges_per_s=round(edges / dt))
+            if self.epoch % cfg.eval_every == 0 or self.epoch == cfg.epochs:
+                m = self.evaluate()
+                self.logger.log("eval", epoch=self.epoch, **m)
+                final = m
+                if m["recall"] > self.best_metric:
+                    self.best_metric = m["recall"]
+                    self.bad_evals = 0
+                    save_checkpoint(self.ckpt_path(), self.params,
+                                    self.opt_state, epoch=self.epoch,
+                                    rng=self.rng,
+                                    best_metric=self.best_metric,
+                                    bad_evals=self.bad_evals)
+                else:
+                    self.bad_evals += 1
+                    if self.bad_evals >= cfg.stopping_steps:
+                        self.logger.log("early_stop", epoch=self.epoch,
+                                        best=self.best_metric)
+                        break
+        self.logger.log("done", best_recall=self.best_metric)
+        return final
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    trainer = Trainer(cfg)
+    return trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Checkpoint / resume: full training state, not just best-model weights.
+
+The reference saves only the best model's state_dict — no optimizer state,
+no epoch counter; restart means retrain (SURVEY.md §5 checkpoint row). Here
+a checkpoint is {params, opt_state, epoch, rng key, best_metric, bad_evals},
+so multi-host restarts resume exactly.
+
+Format: a single .npz with flattened pytree paths as keys + a JSON sidecar
+for pytree structure and scalars. No orbax dependency — the state is a
+plain dict of arrays and this keeps checkpoints transparent and greppable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_checkpoint(path: str, params, opt_state, *, epoch: int,
+                    rng: jax.Array, best_metric: float = 0.0,
+                    bad_evals: int = 0, extra: Dict[str, Any] | None = None):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {}
+    arrays.update({f"p/{k}": v for k, v in _flatten(params).items()})
+    arrays.update({f"o/{k}": v for k, v in _flatten(opt_state).items()})
+    arrays["rng"] = np.asarray(jax.random.key_data(rng))
+    meta = {"epoch": int(epoch), "best_metric": float(best_metric),
+            "bad_evals": int(bad_evals), **(extra or {})}
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path + ".npz")
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str, params_like, opt_state_like
+                    ) -> Tuple[Any, Any, Dict[str, Any], jax.Array]:
+    """Restore into the given pytree structures (shapes must match)."""
+    with np.load(path + ".npz") as z:
+        arrays = {k: z[k] for k in z.files}
+    with open(path + ".json") as f:
+        meta = json.load(f)
+
+    def restore(prefix, like):
+        flat_like = jax.tree_util.tree_flatten_with_path(like)
+        leaves = []
+        for pth, leaf in flat_like[0]:
+            key = prefix + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in pth)
+            arr = arrays[key]
+            if np.asarray(leaf).shape != arr.shape:
+                raise ValueError(f"shape mismatch for {key}: "
+                                 f"{np.asarray(leaf).shape} vs {arr.shape}")
+            leaves.append(arr.astype(np.asarray(leaf).dtype))
+        return jax.tree_util.tree_unflatten(flat_like[1], leaves)
+
+    params = restore("p/", params_like)
+    opt_state = restore("o/", opt_state_like)
+    rng = jax.random.wrap_key_data(arrays["rng"])
+    return params, opt_state, meta, rng

@@ -1,0 +1,133 @@
+"""Run configuration: dataclasses + argparse overrides + named presets.
+
+The reference configures runs purely through main.py argparse flags
+(SURVEY.md §5 config row, §2.9 for the default recipe). Here the same
+recipe is a dataclass; the five BASELINE.json configs are checked in as
+named presets (SURVEY.md §5 prescription).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Tuple
+
+from kgat_tpu.models.kgat import KGATConfig
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # data
+    dataset: str = "synthetic"          # synthetic | amazon-book | last-fm | yelp2018
+    data_root: str = "datasets"
+    # model (SURVEY.md §2.9 reference defaults)
+    model: KGATConfig = dataclasses.field(default_factory=KGATConfig)
+    # optimization
+    lr: float = 1e-4
+    cf_batch_size: int = 1024
+    kg_batch_size: int = 2048
+    epochs: int = 1000
+    eval_every: int = 10
+    stopping_steps: int = 10            # bad evals on recall@K before stop
+    k: int = 20
+    test_block: int = 2048
+    seed: int = 1234
+    sampler: str = "device"             # device | host
+    # infra
+    log_dir: Optional[str] = "runs"
+    run_name: str = "kgat"
+    ckpt_path: Optional[str] = None     # defaults to <log_dir>/<run_name>_best
+    resume: bool = False
+    n_devices: int = 1                  # data-parallel devices (mesh axis 'dp')
+    # synthetic dataset scale (used when dataset == synthetic)
+    syn_users: int = 300
+    syn_items: int = 200
+    syn_entities: int = 500
+    syn_relations: int = 8
+    syn_interactions: int = 6000
+    syn_triples: int = 4000
+
+
+# The five driver configs (BASELINE.json:6-12), as named presets.
+PRESETS = {
+    # 1: CPU-runnable smoke: 1-layer GCN, small graph, full-graph propagation
+    "smoke-gcn": dict(
+        dataset="synthetic", epochs=30, eval_every=5, lr=1e-3,
+        cf_batch_size=256, kg_batch_size=512,
+        model=KGATConfig(aggregator="gcn", conv_dims=(32,),
+                         mess_dropout=(0.1,)),
+    ),
+    # 2: reference recipe, 3-layer bi-interaction
+    "lastfm-bi": dict(dataset="last-fm",
+                      model=KGATConfig(aggregator="bi-interaction")),
+    # 3: GraphSage ablation on Amazon-book
+    "amazon-graphsage": dict(dataset="amazon-book",
+                             model=KGATConfig(aggregator="graphsage")),
+    # 4: Yelp2018 with device-side BPR sampling
+    "yelp-device-sampling": dict(dataset="yelp2018", sampler="device",
+                                 model=KGATConfig(aggregator="bi-interaction")),
+    # 5: edge-partitioned multi-device Yelp2018
+    "yelp-partitioned": dict(dataset="yelp2018", sampler="device",
+                             n_devices=0,  # 0 = use all available
+                             model=KGATConfig(aggregator="bi-interaction")),
+}
+
+
+def parse_args(argv=None) -> TrainConfig:
+    p = argparse.ArgumentParser(description="KGAT-TPU trainer")
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--aggregator", default=None,
+                   choices=["gcn", "graphsage", "bi-interaction"])
+    p.add_argument("--conv-dims", default=None,
+                   help="comma-separated, e.g. 64,32,16")
+    p.add_argument("--mess-dropout", default=None, help="comma-separated")
+    p.add_argument("--embed-dim", type=int, default=None)
+    p.add_argument("--relation-dim", type=int, default=None)
+    p.add_argument("--ops-backend", default=None, choices=["ref", "pallas"])
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--cf-batch-size", type=int, default=None)
+    p.add_argument("--kg-batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--stopping-steps", type=int, default=None)
+    p.add_argument("--k", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--sampler", default=None, choices=["device", "host"])
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--run-name", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="data-parallel devices; 0 = all available")
+    a = p.parse_args(argv)
+
+    cfg = TrainConfig(**PRESETS[a.preset]) if a.preset else TrainConfig()
+    for field in ("dataset", "data_root", "lr", "cf_batch_size",
+                  "kg_batch_size", "epochs", "eval_every", "stopping_steps",
+                  "k", "seed", "sampler", "log_dir", "run_name", "n_devices"):
+        v = getattr(a, field)
+        if v is not None:
+            setattr(cfg, field, v)
+    if a.resume:
+        cfg.resume = True
+
+    m = {}
+    if a.aggregator:
+        m["aggregator"] = a.aggregator
+    if a.conv_dims:
+        m["conv_dims"] = tuple(int(x) for x in a.conv_dims.split(","))
+    if a.mess_dropout:
+        m["mess_dropout"] = tuple(float(x) for x in a.mess_dropout.split(","))
+    if a.embed_dim:
+        m["embed_dim"] = a.embed_dim
+    if a.relation_dim:
+        m["relation_dim"] = a.relation_dim
+    if a.ops_backend:
+        m["ops_backend"] = a.ops_backend
+    if m:
+        if ("conv_dims" in m) != ("mess_dropout" in m):
+            base = m.get("conv_dims", cfg.model.conv_dims)
+            m.setdefault("mess_dropout", tuple(0.1 for _ in base))
+        cfg.model = dataclasses.replace(cfg.model, **m)
+    return cfg

@@ -1,0 +1,66 @@
+"""End-to-end integration (SURVEY.md §4 prescription 4 / BASELINE config 1):
+1-layer GCN on a synthetic subsample, full-graph, CPU — loss decreases and
+the eval metric clears an untrained floor."""
+
+import numpy as np
+import pytest
+
+from kgat_tpu.models.kgat import KGATConfig
+from kgat_tpu.train import Trainer
+from kgat_tpu.utils.config import TrainConfig
+
+
+def _cfg(tmp_path, sampler="device", epochs=8):
+    return TrainConfig(
+        dataset="synthetic", epochs=epochs, eval_every=epochs,
+        lr=5e-3, cf_batch_size=256, kg_batch_size=256,
+        sampler=sampler, seed=3, log_dir=str(tmp_path),
+        syn_users=80, syn_items=60, syn_entities=120, syn_relations=4,
+        syn_interactions=1200, syn_triples=800,
+        model=KGATConfig(aggregator="gcn", conv_dims=(32,),
+                         mess_dropout=(0.1,)),
+    )
+
+
+def test_train_loss_decreases_and_metrics(tmp_path):
+    tr = Trainer(_cfg(tmp_path))
+    first_cf, first_kg = tr.train_one_epoch()
+    for _ in range(6):
+        cf, kg = tr.train_one_epoch()
+    assert cf < first_cf, f"CF loss did not decrease: {first_cf} -> {cf}"
+    assert kg < first_kg, f"KG loss did not decrease: {first_kg} -> {kg}"
+    m = tr.evaluate()
+    assert 0.0 < m["recall"] <= 1.0
+    assert 0.0 <= m["ndcg"] <= 1.0
+    # Must beat a random ranker by a wide margin on this tiny catalogue:
+    # random recall@20 with 60 items ~ 20/60 * small; trained model should
+    # exceed 0.05 easily after a few epochs.
+    assert m["recall"] > 0.05
+
+
+def test_host_sampler_path(tmp_path):
+    tr = Trainer(_cfg(tmp_path, sampler="host", epochs=2))
+    cf1, kg1 = tr.train_one_epoch()
+    cf2, kg2 = tr.train_one_epoch()
+    assert np.isfinite([cf1, cf2, kg1, kg2]).all()
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    cfg = _cfg(tmp_path, epochs=2)
+    cfg.eval_every = 1
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.best_metric > 0
+
+    # Load the saved best into a fresh trainer: the full state round-trips
+    # (params + opt state + counters) and reproduces the recorded metric.
+    cfg2 = _cfg(tmp_path, epochs=2)
+    cfg2.eval_every = 1
+    tr2 = Trainer(cfg2)
+    from kgat_tpu.utils.checkpoint import load_checkpoint
+    p, o, meta, rng = load_checkpoint(tr.ckpt_path(), tr2.params,
+                                      tr2.opt_state)
+    assert meta["epoch"] >= 1
+    tr2.params, tr2.opt_state = p, o
+    m = tr2.evaluate()
+    np.testing.assert_allclose(m["recall"], meta["best_metric"], rtol=1e-5)
