@@ -1,0 +1,197 @@
+"""Benchmark: edges/s of attention aggregation on the current device.
+
+Prints ONE JSON line:
+  {"metric": "cf_step_edges_per_s", "value": N, "unit": "edges/s",
+   "vs_baseline": N, ...breakdown fields...}
+
+Headline metric: full-graph CF training step throughput — (n_layers x E)
+attention-weighted edge messages aggregated per second, including backward
+and the Adam update (the hot loop of KGAT training, SURVEY.md §3.3). Also
+reported: attention recompute (SDDMM + edge softmax) edges/s and pure
+forward propagation edges/s.
+
+The reference publishes no throughput numbers (SURVEY.md §6); the baseline
+is this framework's own XLA reference path (`--backend ref`). vs_baseline
+is the speedup of the selected backend over that path, measured in the same
+run when they differ (1.0 when benching the baseline itself).
+
+Presets are synthetic graphs at the reference datasets' published scale
+(KGAT paper Tab.1): yelp2018 is the north-star target [BASELINE.json:5].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+PRESETS = {
+    # users, items, entities, relations, interactions, triples
+    "smoke": (300, 200, 500, 8, 6_000, 4_000),
+    "lastfm": (23_566, 48_123, 58_266, 9, 3_034_796, 464_567),
+    "amazon-book": (70_679, 24_915, 88_572, 39, 847_733, 2_557_746),
+    "yelp2018": (45_919, 45_538, 90_961, 42, 1_185_068, 1_853_704),
+}
+
+
+def build(preset: str, seed: int = 0):
+    from kgat_tpu.data import synthetic_dataset
+    from kgat_tpu.models import kgat
+
+    u, i, e, r, inter, trip = PRESETS[preset]
+    ds = synthetic_dataset(seed=seed, n_users=u, n_items=i, n_entities=e,
+                           n_relations_kg=r, n_interactions=inter,
+                           n_triples=trip, test_frac=0.1)
+    graph, meta = ds.build()
+    return ds, graph, meta
+
+
+_BASELINE = None
+
+
+def _roundtrip_baseline():
+    """Dispatch + scalar-D2H latency, measured once and subtracted.
+
+    On this machine the TPU sits behind an async relay: block_until_ready
+    on a repeated same-input call returns without executing (measured
+    8k-matmul "0.07ms"), so honest timing needs a per-iteration varying
+    argument and a scalar device->host sync, minus this baseline.
+    """
+    global _BASELINE
+    if _BASELINE is None:
+        f = jax.jit(lambda z, i: z + i)
+        z = jnp.zeros(())
+        float(f(z, 0))
+        ts = []
+        for i in range(1, 21):
+            t0 = time.perf_counter()
+            float(f(z, i))
+            ts.append(time.perf_counter() - t0)
+        _BASELINE = float(np.median(ts))
+    return _BASELINE
+
+
+def median_time(fn, *args, iters=10, warmup=1):
+    """fn(*args, i) -> scalar; returns median true seconds per call."""
+    base = _roundtrip_baseline()
+    for w in range(warmup):
+        float(fn(*args, 1000 + w))
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        float(fn(*args, i))
+        ts.append(time.perf_counter() - t0)
+    return max(float(np.median(ts)) - base, 1e-9)
+
+
+def bench_backend(graph, meta, backend: str, batch: int, iters: int):
+    import dataclasses
+
+    from kgat_tpu.models import kgat
+
+    cfg = kgat.KGATConfig(ops_backend=backend)
+    params = kgat.init_params(jax.random.key(0), meta.n_nodes,
+                              meta.n_relations, cfg)
+    E, L = graph.n_edges, len(cfg.conv_dims)
+
+    att_timed = jax.jit(
+        lambda p, i: jnp.sum(kgat.compute_attention(p, graph, cfg))
+        * 1e-20 + i)
+    t_att = median_time(att_timed, params, iters=iters)
+    att = jax.jit(lambda p: kgat.compute_attention(p, graph, cfg))(params)
+
+    fwd_timed = jax.jit(
+        lambda p, a, i: jnp.sum(kgat.propagate(p, graph, a, cfg))
+        * 1e-20 + i)
+    t_fwd = median_time(fwd_timed, params, att, iters=iters)
+
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    u = jnp.arange(batch, dtype=jnp.int32) % meta.n_users
+    ip = jnp.arange(batch, dtype=jnp.int32) % meta.n_items
+    ineg = (jnp.arange(batch, dtype=jnp.int32) + 7) % meta.n_items
+
+    @jax.jit
+    def cf_step(params, opt_state, att, i):
+        loss, grads = jax.value_and_grad(
+            lambda p: kgat.cf_loss(p, graph, att, meta, u, ip, ineg, cfg,
+                                   rng=jax.random.key(0), train=True))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss + i
+
+    def run_step(i):
+        nonlocal params, opt_state
+        params, opt_state, loss = cf_step(params, opt_state, att, i)
+        return loss
+
+    t_step = median_time(run_step, iters=iters)
+
+    return {
+        "t_attention_s": t_att,
+        "t_forward_s": t_fwd,
+        "t_cf_step_s": t_step,
+        "attention_edges_per_s": E / t_att,
+        "forward_edges_per_s": L * E / t_fwd,
+        "cf_step_edges_per_s": L * E / t_step,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="yelp2018", choices=sorted(PRESETS))
+    p.add_argument("--backend", default="ref", choices=["ref", "pallas"])
+    p.add_argument("--compare", action="store_true",
+                   help="also run the ref path and report speedup")
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=10)
+    a = p.parse_args(argv)
+
+    dev = jax.devices()[0]
+    print(f"# bench on {dev.platform}:{dev.device_kind} preset={a.preset} "
+          f"backend={a.backend}", file=sys.stderr)
+    t0 = time.time()
+    ds, graph, meta = build(a.preset)
+    print(f"# built graph: {meta.n_nodes} nodes {graph.n_edges} edges "
+          f"{meta.n_relations} relations in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    res = bench_backend(graph, meta, a.backend, a.batch, a.iters)
+    vs = 1.0
+    ref_fields = {}
+    if a.compare and a.backend != "ref":
+        ref = bench_backend(graph, meta, "ref", a.batch, a.iters)
+        vs = res["cf_step_edges_per_s"] / ref["cf_step_edges_per_s"]
+        ref_fields = {
+            "ref_t_cf_step_ms": round(ref["t_cf_step_s"] * 1e3, 3),
+            "ref_t_attention_ms": round(ref["t_attention_s"] * 1e3, 3),
+            "ref_t_forward_ms": round(ref["t_forward_s"] * 1e3, 3),
+        }
+
+    out = {
+        "metric": "cf_step_edges_per_s",
+        "value": round(res["cf_step_edges_per_s"]),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 4),
+        "preset": a.preset,
+        "backend": a.backend,
+        "device": f"{dev.platform}:{dev.device_kind}",
+        "n_edges": graph.n_edges,
+        "attention_edges_per_s": round(res["attention_edges_per_s"]),
+        "forward_edges_per_s": round(res["forward_edges_per_s"]),
+        "t_cf_step_ms": round(res["t_cf_step_s"] * 1e3, 3),
+        "t_attention_ms": round(res["t_attention_s"] * 1e3, 3),
+        "t_forward_ms": round(res["t_forward_s"] * 1e3, 3),
+        **ref_fields,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

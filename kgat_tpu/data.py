@@ -63,7 +63,7 @@ class Dataset:
     def n_kg_train(self) -> int:
         return len(self.kg_triples)
 
-    def build(self, *, edge_block: int = 8, rel_block: int = 8
+    def build(self, *, edge_block: int = 2048, rel_block: int = 512
               ) -> Tuple[Graph, CKGMeta]:
         """Construct the collaborative knowledge graph from train CF + KG."""
         return build_ckg(
@@ -75,10 +75,12 @@ class Dataset:
 
 
 def _group_by_user(pairs: np.ndarray) -> Dict[int, np.ndarray]:
-    d: Dict[int, List[int]] = {}
-    for u, i in pairs:
-        d.setdefault(int(u), []).append(int(i))
-    return {u: np.asarray(sorted(set(v)), dtype=np.int64) for u, v in d.items()}
+    if len(pairs) == 0:
+        return {}
+    pairs = np.unique(np.asarray(pairs, dtype=np.int64), axis=0)
+    uids, starts = np.unique(pairs[:, 0], return_index=True)
+    chunks = np.split(pairs[:, 1], starts[1:])
+    return {int(u): c for u, c in zip(uids, chunks)}
 
 
 def _parse_user_items(path: str) -> np.ndarray:
@@ -151,21 +153,22 @@ def synthetic_dataset(
     items = np.concatenate([base_i, items])
     pairs = np.unique(np.stack([users, items], axis=1), axis=0)
 
-    # Per-user split: last test_frac of each user's items to test.
+    # Per-user split: test_frac of each user's items to test (vectorized:
+    # rank each pair within its user's shuffled run, compare to cutoff).
     order = rng.permutation(len(pairs))
     pairs = pairs[order]
     sort = np.argsort(pairs[:, 0], kind="stable")
     pairs = pairs[sort]
-    train_rows, test_rows = [], []
-    for u in np.unique(pairs[:, 0]):
-        rows = pairs[pairs[:, 0] == u]
-        k = max(1, int(len(rows) * test_frac))
-        if len(rows) - k < 1:
-            k = len(rows) - 1
-        test_rows.append(rows[:k])
-        train_rows.append(rows[k:])
-    cf_train = np.concatenate(train_rows)
-    cf_test = np.concatenate(test_rows)
+    uids = pairs[:, 0]
+    starts = np.searchsorted(uids, np.arange(n_users), side="left")
+    ends = np.searchsorted(uids, np.arange(n_users), side="right")
+    counts = ends - starts
+    rank = np.arange(len(pairs)) - np.repeat(starts, counts)
+    n_test_per_user = np.maximum(1, (counts * test_frac).astype(np.int64))
+    n_test_per_user = np.minimum(n_test_per_user, np.maximum(counts - 1, 0))
+    is_test = rank < np.repeat(n_test_per_user, counts)
+    cf_train = pairs[~is_test]
+    cf_test = pairs[is_test]
 
     ent_p = 1.0 / (np.arange(n_entities) + 1.0)
     ent_p = rng.permutation(ent_p)

@@ -63,6 +63,10 @@ class Graph:
     edge_mask: jax.Array    # (E_pad,) float32, 1.0 real / 0.0 pad
     row_offsets: jax.Array  # (n_nodes + 2,) int32 CSR offsets over dst segments
     att_gather: jax.Array   # (E_att_pad,) int32: relation-blocked pos -> canonical edge slot
+    # Reverse graph (src-sorted view) — SpMM backward = SDDMM/segment-sum on
+    # the reversed graph, DGL's dual-op autograd rule (SURVEY.md §2.2):
+    rev_gather: jax.Array   # (E_pad,) int32: src-sorted pos -> canonical edge slot
+    rev_offsets: jax.Array  # (n_nodes + 2,) int32 CSR offsets over src segments
 
     # --- static metadata (pytree aux) ---
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
@@ -87,8 +91,8 @@ def build_graph(
     n_nodes: int,
     n_relations: int,
     *,
-    edge_block: int = 8,
-    rel_block: int = 8,
+    edge_block: int = 2048,
+    rel_block: int = 512,
 ) -> Graph:
     """Build a :class:`Graph` from host-side COO arrays.
 
@@ -111,9 +115,11 @@ def build_graph(
     order = np.argsort(dst, kind="stable")
     src, dst, etype = src[order], dst[order], etype[order]
 
-    # Pad edges to a block multiple; always leave >= 1 pad slot so the
-    # attention layout has a dead slot to point at.
-    n_pad = max(_round_up(n_edges + 1, edge_block), edge_block)
+    # Pad edges to a block multiple, leaving >= edge_block slack slots: the
+    # Pallas segment kernels stream edges in fixed-size chunks and their
+    # final chunk may read up to edge_block-1 slots past the last real edge.
+    # (Also guarantees >= 1 dead slot for the attention layout to point at.)
+    n_pad = max(_round_up(n_edges + edge_block, edge_block), edge_block)
     pad = n_pad - n_edges
     src_p = np.concatenate([src, np.zeros(pad, np.int32)])
     dst_p = np.concatenate([dst, np.full(pad, n_nodes, np.int32)])
@@ -123,6 +129,13 @@ def build_graph(
     # CSR offsets over dst segments (incl. sentinel segment n_nodes).
     row_offsets = np.searchsorted(dst_p, np.arange(n_nodes + 2), side="left")
     row_offsets = row_offsets.astype(np.int32)
+
+    # Reverse-graph view: canonical edges sorted by src (pads sorted to the
+    # sentinel segment so they stay out of node 0's range).
+    src_eff = np.where(mask > 0, src_p, n_nodes)
+    rev_gather = np.argsort(src_eff, kind="stable").astype(np.int32)
+    rev_offsets = np.searchsorted(src_eff[rev_gather],
+                                  np.arange(n_nodes + 2)).astype(np.int32)
 
     # Relation-blocked attention layout: stable argsort by etype over the
     # canonical order, then pad each relation block to rel_block with the
@@ -156,6 +169,8 @@ def build_graph(
         edge_mask=jnp.asarray(mask),
         row_offsets=jnp.asarray(row_offsets),
         att_gather=jnp.asarray(att_gather),
+        rev_gather=jnp.asarray(rev_gather),
+        rev_offsets=jnp.asarray(rev_offsets),
         n_nodes=int(n_nodes),
         n_edges=n_edges,
         n_edges_pad=int(n_pad),
@@ -193,8 +208,8 @@ def build_ckg(
     n_items: int,
     n_relations_kg: int,
     *,
-    edge_block: int = 8,
-    rel_block: int = 8,
+    edge_block: int = 2048,
+    rel_block: int = 512,
 ) -> Tuple[Graph, CKGMeta]:
     """Construct the collaborative knowledge graph (SURVEY.md §2.4).
 

@@ -104,7 +104,11 @@ def attention_logits(params: Params, graph: Graph,
     Relation-blocked: each relation's edges are a static, padded contiguous
     block of ``graph.att_gather`` (SURVEY.md §3.2 loops over relations the
     same way; here each block is two fixed-shape matmuls on the MXU).
+    The pallas backend fuses all relations into one kernel launch.
     """
+    if cfg.ops_backend == "pallas":
+        from kgat_tpu.ops import pallas_backend
+        return pallas_backend.attention_logits(params, graph, cfg)
     emb = params["entity_embed"]
     dst = jnp.minimum(graph.dst, graph.n_nodes - 1)  # clamp sentinel
     att_logits_parts = []

@@ -1,0 +1,81 @@
+"""Data-parallel training over a device mesh (`dp` axis).
+
+Strategy (SURVEY.md §2.3 DP row): CF/KG minibatches are sharded over chips
+on the batch axis; parameters are replicated; XLA inserts the gradient
+all-reduce over ICI from the sharding annotations (the scaling-book recipe:
+pick a mesh, annotate, let XLA place collectives). No NCCL/MPI translation —
+there is nothing to port; the reference has no distributed path at all.
+
+The graph (edge arrays) is replicated here; edge-*partitioned* execution
+lives in kgat_tpu.parallel.partition / halo and composes with this DP axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kgat_tpu.graph import CKGMeta, Graph
+from kgat_tpu.models import kgat
+
+
+def make_mesh(n_devices: int = 0, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices <= 0:
+        n_devices = len(devs)
+    return jax.make_mesh((n_devices,), (axis,), devices=devs[:n_devices])
+
+
+def make_dp_cf_step(mesh: Mesh, graph: Graph, meta: CKGMeta,
+                    cfg: kgat.KGATConfig, opt: optax.GradientTransformation
+                    ) -> Callable:
+    """Jitted CF step: batch sharded over `dp`, params replicated.
+
+    Returns step(params, opt_state, att, u, ip, ineg, rng) -> (params,
+    opt_state, loss). Batch size must divide the dp axis size.
+    """
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("dp"))
+
+    def loss_fn(params, att, u, ip, ineg, rng):
+        return kgat.cf_loss(params, graph, att, meta, u, ip, ineg, cfg,
+                            rng=rng, train=True)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, batch_sh, batch_sh, batch_sh, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+    def step(params, opt_state, att, u, ip, ineg, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, att, u, ip, ineg,
+                                                  rng)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def make_dp_kg_step(mesh: Mesh, cfg: kgat.KGATConfig,
+                    opt: optax.GradientTransformation) -> Callable:
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("dp"))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl) + (batch_sh,) * 4,
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+    def step(params, opt_state, h, r, tp, tn):
+        loss, grads = jax.value_and_grad(
+            lambda p: kgat.kg_loss(p, h, r, tp, tn, cfg))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step

@@ -1,0 +1,91 @@
+"""Pallas kernels vs the XLA reference path (SURVEY.md §4: same test runs on
+both backends, like DGL's backend-parametrized fixtures). CPU CI runs the
+kernels in interpreter mode; the real-TPU path is exercised by bench.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from kgat_tpu.data import synthetic_dataset
+from kgat_tpu.models import kgat
+from kgat_tpu.models.kgat import KGATConfig
+from kgat_tpu.ops import ref as ref_ops
+from kgat_tpu.ops import pallas_backend as pb
+
+
+@pytest.fixture(scope="module")
+def graph_meta():
+    ds = synthetic_dataset(seed=11, n_users=60, n_items=40, n_entities=90,
+                           n_relations_kg=4, n_interactions=700,
+                           n_triples=500)
+    return ds.build()  # default edge_block/rel_block = kernel-aligned
+
+
+def test_pallas_spmm_matches_ref(graph_meta, rng):
+    g, meta = graph_meta
+    w = jnp.asarray(rng.normal(size=g.n_edges_pad).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, 64)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = pb.spmm(g, w, x)
+    want = ref_ops.spmm(g, w, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm_grads_match_ref(graph_meta, rng):
+    g, meta = graph_meta
+    w = jnp.asarray(rng.normal(size=g.n_edges_pad).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, 32)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(g.n_nodes, 32)).astype(np.float32))
+
+    def loss(f):
+        return lambda w_, x_: jnp.vdot(f(g, w_, x_), cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        dw_p, dx_p = jax.grad(loss(pb.spmm), argnums=(0, 1))(w, x)
+    dw_r, dx_r = jax.grad(loss(ref_ops.spmm), argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_attention_matches_ref(graph_meta):
+    g, meta = graph_meta
+    cfg_ref = KGATConfig(ops_backend="ref")
+    cfg_pal = KGATConfig(ops_backend="pallas")
+    params = kgat.init_params(jax.random.key(3), meta.n_nodes,
+                              meta.n_relations, cfg_ref)
+    want = kgat.attention_logits(params, g, cfg_ref)
+    with pltpu.force_tpu_interpret_mode():
+        got = kgat.attention_logits(params, g, cfg_pal)
+    # Compare only real edges (pad slots may hold junk from dead writes).
+    real = np.asarray(g.edge_mask) > 0
+    np.testing.assert_allclose(np.asarray(got)[real], np.asarray(want)[real],
+                               rtol=1e-4, atol=1e-5)
+
+    att_ref = kgat.compute_attention(params, g, cfg_ref)
+    with pltpu.force_tpu_interpret_mode():
+        att_pal = kgat.compute_attention(params, g, cfg_pal)
+    np.testing.assert_allclose(np.asarray(att_pal), np.asarray(att_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_full_model_parity(graph_meta):
+    """Whole forward path (attention -> propagate -> scores) on both
+    backends must agree (activation parity, SURVEY.md §4.2)."""
+    g, meta = graph_meta
+    u = jnp.arange(8); it = jnp.arange(8)
+    outs = {}
+    for backend in ["ref", "pallas"]:
+        cfg = KGATConfig(ops_backend=backend)
+        params = kgat.init_params(jax.random.key(5), meta.n_nodes,
+                                  meta.n_relations, cfg)
+        with pltpu.force_tpu_interpret_mode():
+            att = kgat.compute_attention(params, g, cfg)
+            emb = kgat.propagate(params, g, att, cfg)
+            outs[backend] = np.asarray(kgat.cf_scores(emb, meta, u, it))
+    np.testing.assert_allclose(outs["pallas"], outs["ref"],
+                               rtol=1e-4, atol=1e-4)
