@@ -104,7 +104,8 @@ def bench_backend(graph, meta, backend: str, batch: int, iters: int):
         lambda p, i: jnp.sum(kgat.compute_attention(p, graph, cfg))
         * 1e-20 + i)
     t_att = median_time(att_timed, params, iters=iters)
-    att = jax.jit(lambda p: kgat.compute_attention(p, graph, cfg))(params)
+    att = jax.jit(lambda p: kgat.prepare_attention(
+        graph, kgat.compute_attention(p, graph, cfg), cfg))(params)
 
     fwd_timed = jax.jit(
         lambda p, a, i: jnp.sum(kgat.propagate(p, graph, a, cfg))

@@ -25,11 +25,13 @@ import numpy as np
 
 from kgat_tpu.graph import CKGMeta, Graph, build_ckg
 
-# Try the native (C++) fast loader first; fall back to numpy.
+# Try the native (C++) fast loaders first; fall back to numpy.
 try:  # pragma: no cover - exercised when the native lib is built
     from kgat_tpu.native import parse_user_items as _native_parse
+    from kgat_tpu.native import parse_triples as _native_triples
 except Exception:  # noqa: BLE001
     _native_parse = None
+    _native_triples = None
 
 
 @dataclasses.dataclass
@@ -104,8 +106,11 @@ def load_dataset(root: str, name: str) -> Dataset:
     ddir = os.path.join(root, name)
     train = _parse_user_items(os.path.join(ddir, "train.txt"))
     test = _parse_user_items(os.path.join(ddir, "test.txt"))
-    kg = np.loadtxt(os.path.join(ddir, "kg_final.txt"), dtype=np.int64)
-    kg = kg.reshape(-1, 3)
+    kg_path = os.path.join(ddir, "kg_final.txt")
+    if _native_triples is not None:
+        kg = _native_triples(kg_path)
+    else:
+        kg = np.loadtxt(kg_path, dtype=np.int64).reshape(-1, 3)
     # Deduplicate triples as the reference loader does.
     kg = np.unique(kg, axis=0)
     n_users = int(max(train[:, 0].max(), test[:, 0].max())) + 1

@@ -42,9 +42,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # native (C++) fast path for host-side sorting; numpy fallback below
+    from kgat_tpu import native as _native
+except Exception:  # noqa: BLE001 - missing toolchain degrades gracefully
+    _native = None
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _stable_sort_perm(keys: np.ndarray, n_keys: int) -> np.ndarray:
+    """Stable sort permutation: native counting sort or numpy argsort."""
+    if _native is not None and len(keys) > 0:
+        return _native.sort_perm(keys, n_keys)
+    return np.argsort(keys, kind="stable")
 
 
 @jax.tree_util.register_dataclass
@@ -63,10 +75,11 @@ class Graph:
     edge_mask: jax.Array    # (E_pad,) float32, 1.0 real / 0.0 pad
     row_offsets: jax.Array  # (n_nodes + 2,) int32 CSR offsets over dst segments
     att_gather: jax.Array   # (E_att_pad,) int32: relation-blocked pos -> canonical edge slot
-    # Reverse graph (src-sorted view) — SpMM backward = SDDMM/segment-sum on
-    # the reversed graph, DGL's dual-op autograd rule (SURVEY.md §2.2):
-    rev_gather: jax.Array   # (E_pad,) int32: src-sorted pos -> canonical edge slot
-    rev_offsets: jax.Array  # (n_nodes + 2,) int32 CSR offsets over src segments
+    # Block-aligned SpMM layouts (see AlignedLayout): forward reduces over
+    # dst segments; the reverse (src-sorted) layout serves SpMM backward —
+    # DGL's dual-op autograd rule (SURVEY.md §2.2).
+    fwd_layout: "AlignedLayout"
+    rev_layout: "AlignedLayout"
 
     # --- static metadata (pytree aux) ---
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
@@ -82,6 +95,93 @@ class Graph:
     def num_segments(self) -> int:
         """Segment count for segment ops (includes the pad sentinel)."""
         return self.n_nodes + 1
+
+
+# Aligned-layout constants: 128-row output blocks, 1024-edge chunks. Every
+# block's edge run is padded to a chunk multiple so a Pallas kernel can walk
+# a flat static chunk grid with BlockSpec-pipelined inputs (auto
+# double-buffered by Mosaic) and revisit one output block per chunk run.
+ALIGN_BLOCK_ROWS = 128
+ALIGN_CHUNK_EDGES = 1024
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AlignedLayout:
+    """Block-aligned segment-reduce layout for one edge direction.
+
+    Edges are ordered by segment (dst for forward, src for reverse), grouped
+    into 128-row output blocks, each block's run padded to 1024-edge chunks
+    with dead positions (-> canonical pad slot). Segment membership is
+    expressed as per-row [lo, hi) aligned-coordinate bounds, so kernels
+    never read per-edge segment ids.
+    """
+
+    gather: jax.Array       # (E_al,) int32 aligned pos -> canonical edge slot
+    node: jax.Array         # (E_al,) int32 the *other* endpoint per position
+    seg: jax.Array          # (E_al,) int32 segment (owning row) per position
+    bounds: jax.Array       # (n_blocks, 128, 8) int32 lane-minor [lo, hi)
+    chunk_block: jax.Array  # (n_chunks,) int32 block id per chunk
+    n_chunks: int = dataclasses.field(metadata=dict(static=True))
+    n_blocks: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
+                          n_nodes: int, dead_slot: int,
+                          order: np.ndarray | None = None) -> AlignedLayout:
+    """Host-side construction of an :class:`AlignedLayout`.
+
+    seg/other: (n_edges,) segment id / other-endpoint per canonical edge;
+    order: canonical edge ids sorted by seg (computed if None).
+    """
+    B, ALIGN = ALIGN_BLOCK_ROWS, ALIGN_CHUNK_EDGES
+    n_edges = len(seg)
+    if order is None:
+        order = _stable_sort_perm(seg, n_nodes)
+    seg_sorted = seg[order]
+    ro = np.searchsorted(seg_sorted, np.arange(n_nodes + 1)).astype(np.int64)
+
+    n_blocks = -(-n_nodes // B)
+    blk_lo = ro[np.minimum(np.arange(n_blocks) * B, n_nodes)]
+    blk_hi = ro[np.minimum(np.arange(n_blocks) * B + B, n_nodes)]
+    blk_cnt = blk_hi - blk_lo
+    blk_pad = np.maximum(-(-blk_cnt // ALIGN), 1) * ALIGN  # >=1 chunk/block
+    blk_start = np.concatenate([[0], np.cumsum(blk_pad)])
+    e_al = int(blk_start[-1])
+
+    gather = np.full(e_al, dead_slot, np.int64)
+    for b in range(n_blocks):
+        s, c = blk_start[b], blk_cnt[b]
+        gather[s: s + c] = order[blk_lo[b]: blk_hi[b]]
+
+    # Per-row aligned-coordinate bounds.
+    rows = np.arange(n_nodes)
+    row_block = rows // B
+    lo = blk_start[row_block] + (ro[rows] - blk_lo[row_block])
+    hi = lo + (ro[rows + 1] - ro[rows])
+    lo_f = np.zeros(n_blocks * B, np.int64)
+    hi_f = np.zeros(n_blocks * B, np.int64)
+    lo_f[:n_nodes] = lo
+    hi_f[:n_nodes] = hi
+    bounds = np.zeros((n_blocks, B, 8), np.int32)
+    bounds[:, :, 0] = lo_f.reshape(n_blocks, B)
+    bounds[:, :, 1] = hi_f.reshape(n_blocks, B)
+
+    chunk_block = np.repeat(np.arange(n_blocks, dtype=np.int32),
+                            blk_pad // ALIGN)
+    clamped = np.minimum(gather, n_edges - 1 if n_edges else 0)
+    node = np.where(gather < n_edges, other[clamped], 0).astype(np.int32)
+    seg_al = np.where(gather < n_edges, seg[clamped], 0).astype(np.int32)
+
+    return AlignedLayout(
+        gather=jnp.asarray(gather.astype(np.int32)),
+        node=jnp.asarray(node),
+        seg=jnp.asarray(seg_al),
+        bounds=jnp.asarray(bounds),
+        chunk_block=jnp.asarray(chunk_block),
+        n_chunks=int(len(chunk_block)),
+        n_blocks=int(n_blocks),
+    )
 
 
 def build_graph(
@@ -112,7 +212,7 @@ def build_graph(
         raise ValueError("etype out of range")
 
     # Canonical order: stable sort by dst.
-    order = np.argsort(dst, kind="stable")
+    order = _stable_sort_perm(dst, n_nodes)
     src, dst, etype = src[order], dst[order], etype[order]
 
     # Pad edges to a block multiple, leaving >= edge_block slack slots: the
@@ -130,19 +230,19 @@ def build_graph(
     row_offsets = np.searchsorted(dst_p, np.arange(n_nodes + 2), side="left")
     row_offsets = row_offsets.astype(np.int32)
 
-    # Reverse-graph view: canonical edges sorted by src (pads sorted to the
-    # sentinel segment so they stay out of node 0's range).
-    src_eff = np.where(mask > 0, src_p, n_nodes)
-    rev_gather = np.argsort(src_eff, kind="stable").astype(np.int32)
-    rev_offsets = np.searchsorted(src_eff[rev_gather],
-                                  np.arange(n_nodes + 2)).astype(np.int32)
+    # Block-aligned SpMM layouts: canonical edges are already dst-sorted, so
+    # the forward layout's order is the identity; the reverse layout sorts
+    # by src (SpMM backward runs on the reversed graph).
+    dead = n_edges  # first canonical pad slot (mask 0)
+    fwd_layout = _build_aligned_layout(
+        dst, src, n_nodes, dead, order=np.arange(n_edges, dtype=np.int64))
+    rev_layout = _build_aligned_layout(src, dst, n_nodes, dead)
 
     # Relation-blocked attention layout: stable argsort by etype over the
     # canonical order, then pad each relation block to rel_block with the
     # dead slot (index n_edges, the first pad slot).
     rel_order = np.argsort(ety_p[:n_edges], kind="stable")
     rel_sorted_ety = ety_p[:n_edges][rel_order]
-    dead = np.int32(n_edges)
     gather_parts = []
     rel_blocks = []
     pos = 0
@@ -153,7 +253,7 @@ def build_graph(
         cnt_pad = _round_up(max(cnt, 0), rel_block) if cnt > 0 else 0
         if cnt_pad == 0:
             continue
-        part = np.full(cnt_pad, dead, np.int32)
+        part = np.full(cnt_pad, np.int32(dead), np.int32)
         part[:cnt] = rel_order[lo:hi].astype(np.int32)
         gather_parts.append(part)
         rel_blocks.append((r, pos, cnt, cnt_pad))
@@ -169,8 +269,8 @@ def build_graph(
         edge_mask=jnp.asarray(mask),
         row_offsets=jnp.asarray(row_offsets),
         att_gather=jnp.asarray(att_gather),
-        rev_gather=jnp.asarray(rev_gather),
-        rev_offsets=jnp.asarray(rev_offsets),
+        fwd_layout=fwd_layout,
+        rev_layout=rev_layout,
         n_nodes=int(n_nodes),
         n_edges=n_edges,
         n_edges_pad=int(n_pad),

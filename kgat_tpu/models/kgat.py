@@ -138,6 +138,19 @@ def compute_attention(params: Params, graph: Graph, cfg: KGATConfig) -> jax.Arra
     return ops.segment_softmax(graph, logits)
 
 
+def prepare_attention(graph: Graph, att: jax.Array, cfg: KGATConfig):
+    """Pre-stage cached attention for the hot loop.
+
+    On the pallas backend this pre-gathers the weights into both aligned
+    SpMM layouts once per epoch (the aligned scalar gather costs more than
+    the reduce kernel itself); on the ref backend it is the identity.
+    """
+    if cfg.ops_backend == "pallas":
+        from kgat_tpu.ops import pallas_backend
+        return pallas_backend.prepare_weights(graph, att)
+    return att
+
+
 # ---------------------------------------------------------------------------
 # Propagation (A1-A3) and final representation.
 # ---------------------------------------------------------------------------

@@ -7,4 +7,4 @@ kernels are jit-inlined into the XLA program, so there is no FFI layer at
 all (the idiomatic-TPU win over DGL's ctypes/DLPack bridge).
 """
 
-from kgat_tpu.ops.pallas.segment_sum import segment_sum_csr  # noqa: F401
+from kgat_tpu.ops.pallas.segment_sum import segment_sum_aligned  # noqa: F401

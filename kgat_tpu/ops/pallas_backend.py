@@ -20,7 +20,7 @@ import numpy as np
 
 from kgat_tpu.graph import Graph
 from kgat_tpu.ops import ref as _ref
-from kgat_tpu.ops.pallas.segment_sum import segment_sum_csr
+from kgat_tpu.ops.pallas.segment_sum import segment_sum_aligned
 from kgat_tpu.ops.pallas.sddmm import sddmm_transr
 
 # Scalar-wise ops: reference path (cheap relative to SpMM/SDDMM).
@@ -30,42 +30,75 @@ segment_sum = _ref.segment_sum
 segment_max = _ref.segment_max
 
 
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EdgeWeights:
+    """Edge weights pre-gathered into both aligned SpMM layouts.
+
+    The aligned scalar gather costs ~43ms at Yelp2018 scale (vs ~21ms for
+    the reduce kernel itself) because random 4-byte gathers are
+    granule-wasteful on TPU. Attention weights are recomputed once per
+    epoch and reused across every CF step and layer (SURVEY.md §3.1), so
+    the trainer prepares them once with :func:`prepare_weights` and the
+    hot loop streams them sequentially.
+    """
+
+    fwd: jax.Array   # (E_al_fwd,) (w * mask)[fwd_layout.gather]
+    rev: jax.Array   # (E_al_rev,)
+
+
+def prepare_weights(graph: Graph, edge_w: jax.Array) -> EdgeWeights:
+    wm = edge_w * graph.edge_mask
+    return EdgeWeights(fwd=wm[graph.fwd_layout.gather],
+                       rev=wm[graph.rev_layout.gather])
+
+
+def _layout_reduce(layout, w_aligned, x, n_nodes):
+    """One direction of SpMM: gather features straight into the aligned
+    order (no separate permutation pass) and reduce with the Pallas kernel.
+    Dead positions carry w == 0 (they gather the masked pad slot)."""
+    vals = x[layout.node] * w_aligned[:, None]
+    return segment_sum_aligned(vals, layout, n_nodes)
+
+
 @jax.custom_vjp
-def _spmm_p(edge_w, x, src, dst, mask, row_offsets, rev_gather, rev_offsets):
-    n = row_offsets.shape[0] - 2
-    w = edge_w * mask
-    msgs = x[src] * w[:, None]
-    return segment_sum_csr(msgs, row_offsets, n)
+def _spmm_p(w_fwd, w_rev, x, fwd_layout, rev_layout):
+    return _layout_reduce(fwd_layout, w_fwd, x, x.shape[0])
 
 
-def _spmm_fwd(edge_w, x, src, dst, mask, row_offsets, rev_gather,
-              rev_offsets):
-    out = _spmm_p(edge_w, x, src, dst, mask, row_offsets, rev_gather,
-                  rev_offsets)
-    return out, (edge_w, x, src, dst, mask, rev_gather, rev_offsets)
+def _spmm_fwd(w_fwd, w_rev, x, fwd_layout, rev_layout):
+    out = _spmm_p(w_fwd, w_rev, x, fwd_layout, rev_layout)
+    return out, (w_fwd, w_rev, x, fwd_layout, rev_layout)
 
 
 def _spmm_bwd(res, g):
-    edge_w, x, src, dst, mask, rev_gather, rev_offsets = res
-    n = rev_offsets.shape[0] - 2
-    w = edge_w * mask
-    g_dst = g[jnp.minimum(dst, n - 1)]               # (E_pad, d)
-    # dL/dw[e] = <x[src_e], g[dst_e]>  — the SDDMM dual.
-    d_w = jnp.sum(x[src] * g_dst, axis=-1) * mask
+    w_fwd, w_rev, x, fwd_layout, rev_layout = res
+    n = x.shape[0]
+    # dL/dw_fwd[j] = <x[node_j], g[seg_j]> — the SDDMM dual, in aligned
+    # coordinates. (XLA drops this branch when the weights are
+    # stop-gradient, the common case: attention is cached per epoch.)
+    d_w_fwd = jnp.sum(x[fwd_layout.node] * g[fwd_layout.seg], axis=-1)
     # dL/dx[u] = sum over edges with src == u of w_e * g[dst_e] — the
-    # segment-sum dual on the reverse (src-sorted) graph.
-    vals_rev = (g_dst * w[:, None])[rev_gather]
-    d_x = segment_sum_csr(vals_rev, rev_offsets, n)
-    return (d_w, d_x, None, None, None, None, None, None)
+    # segment-sum dual on the reverse graph; rev_layout.node is dst there.
+    d_x = _layout_reduce(rev_layout, w_rev, g, n)
+    return (d_w_fwd, None, d_x, None, None)
 
 
 _spmm_p.defvjp(_spmm_fwd, _spmm_bwd)
 
 
-def spmm(graph: Graph, edge_w: jax.Array, x: jax.Array) -> jax.Array:
-    """out[v] = sum over edges (u -> v) of edge_w[e] * x[u] (Pallas path)."""
-    return _spmm_p(edge_w, x, graph.src, graph.dst, graph.edge_mask,
-                   graph.row_offsets, graph.rev_gather, graph.rev_offsets)
+def spmm(graph: Graph, edge_w, x: jax.Array) -> jax.Array:
+    """out[v] = sum over edges (u -> v) of edge_w[e] * x[u] (Pallas path).
+
+    ``edge_w`` is either canonical (E_pad,) weights or a prepared
+    :class:`EdgeWeights` (preferred in hot loops — see EdgeWeights).
+    """
+    ew = edge_w if isinstance(edge_w, EdgeWeights) \
+        else prepare_weights(graph, edge_w)
+    return _spmm_p(ew.fwd, ew.rev, x, graph.fwd_layout, graph.rev_layout)
 
 
 def attention_logits(params, graph: Graph, cfg) -> jax.Array:

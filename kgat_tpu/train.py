@@ -136,8 +136,9 @@ class Trainer:
 
         @jax.jit
         def attention(params):
-            return jax.lax.stop_gradient(
+            att = jax.lax.stop_gradient(
                 kgat.compute_attention(params, graph, mcfg))
+            return kgat.prepare_attention(graph, att, mcfg)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def cf_step_host(params, opt_state, att, u, ip, ineg, rng):

@@ -1,0 +1,37 @@
+"""Native (C++) host tooling vs numpy fallbacks — identical outputs."""
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("kgat_tpu.native")
+
+
+def test_parse_user_items_matches_python(tmp_path):
+    p = tmp_path / "train.txt"
+    p.write_text("0 5 7 9\n1 2\n\n2 0 1 3 4\n17 3\n")
+    got = native.parse_user_items(str(p))
+    # python fallback
+    import kgat_tpu.data as d
+    saved = d._native_parse
+    d._native_parse = None
+    try:
+        want = d._parse_user_items(str(p))
+    finally:
+        d._native_parse = saved
+    np.testing.assert_array_equal(got, want)
+
+
+def test_parse_triples(tmp_path):
+    p = tmp_path / "kg_final.txt"
+    p.write_text("1 0 2\n3 1 4\n5 2 6\n")
+    got = native.parse_triples(str(p))
+    np.testing.assert_array_equal(got, [[1, 0, 2], [3, 1, 4], [5, 2, 6]])
+
+
+def test_sort_and_csr_match_numpy(rng):
+    keys = rng.integers(0, 777, 100_000).astype(np.int32)
+    perm = native.sort_perm(keys, 777)
+    np.testing.assert_array_equal(perm, np.argsort(keys, kind="stable"))
+    offs = native.csr_offsets(keys[perm], 777)
+    np.testing.assert_array_equal(
+        offs, np.searchsorted(keys[perm], np.arange(778)))
