@@ -128,11 +128,14 @@ class AlignedLayout:
 
 def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
                           n_nodes: int, dead_slot: int,
-                          order: np.ndarray | None = None) -> AlignedLayout:
+                          order: np.ndarray | None = None,
+                          force_chunks: int | None = None) -> AlignedLayout:
     """Host-side construction of an :class:`AlignedLayout`.
 
     seg/other: (n_edges,) segment id / other-endpoint per canonical edge;
-    order: canonical edge ids sorted by seg (computed if None).
+    order: canonical edge ids sorted by seg (computed if None);
+    force_chunks: pad the chunk count to this total (SPMD shards of a
+    partitioned graph must share shapes — trailing chunks are dead).
     """
     B, ALIGN = ALIGN_BLOCK_ROWS, ALIGN_CHUNK_EDGES
     n_edges = len(seg)
@@ -145,7 +148,9 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
     blk_lo = ro[np.minimum(np.arange(n_blocks) * B, n_nodes)]
     blk_hi = ro[np.minimum(np.arange(n_blocks) * B + B, n_nodes)]
     blk_cnt = blk_hi - blk_lo
-    blk_pad = np.maximum(-(-blk_cnt // ALIGN), 1) * ALIGN  # >=1 chunk/block
+    # Empty blocks get zero chunks (their out rows are never visited; the
+    # kernel wrapper zeroes them via the bounds mask).
+    blk_pad = (-(-blk_cnt // ALIGN)) * ALIGN
     blk_start = np.concatenate([[0], np.cumsum(blk_pad)])
     e_al = int(blk_start[-1])
 
@@ -169,9 +174,28 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
 
     chunk_block = np.repeat(np.arange(n_blocks, dtype=np.int32),
                             blk_pad // ALIGN)
-    clamped = np.minimum(gather, n_edges - 1 if n_edges else 0)
-    node = np.where(gather < n_edges, other[clamped], 0).astype(np.int32)
-    seg_al = np.where(gather < n_edges, seg[clamped], 0).astype(np.int32)
+    if force_chunks is not None:
+        if force_chunks < len(chunk_block):
+            raise ValueError(f"force_chunks {force_chunks} < required "
+                             f"{len(chunk_block)}")
+        extra = force_chunks - len(chunk_block)
+        if extra:
+            # Dead trailing chunks: keep chunk_block monotone by pointing
+            # them at the last block; their positions gather the dead slot.
+            chunk_block = np.concatenate([
+                chunk_block,
+                np.full(extra, chunk_block[-1] if len(chunk_block)
+                        else 0, np.int32)])
+            gather = np.concatenate([
+                gather, np.full(extra * ALIGN, dead_slot, np.int64)])
+            e_al = int(force_chunks) * ALIGN
+    if n_edges:
+        clamped = np.minimum(gather, n_edges - 1)
+        node = np.where(gather < n_edges, other[clamped], 0).astype(np.int32)
+        seg_al = np.where(gather < n_edges, seg[clamped], 0).astype(np.int32)
+    else:
+        node = np.zeros(len(gather), np.int32)
+        seg_al = np.zeros(len(gather), np.int32)
 
     return AlignedLayout(
         gather=jnp.asarray(gather.astype(np.int32)),
@@ -193,12 +217,21 @@ def build_graph(
     *,
     edge_block: int = 2048,
     rel_block: int = 512,
+    force_edge_pad: int | None = None,
+    force_rel_pad: "dict[int, int] | None" = None,
+    force_fwd_chunks: int | None = None,
+    force_rev_chunks: int | None = None,
 ) -> Graph:
     """Build a :class:`Graph` from host-side COO arrays.
 
     Replaces DGL's C++ COO->CSR conversion + format caching (SURVEY.md §2.2).
     Sorting/packing happens once on the host in numpy (a C++ fast path with
     identical output lives in kgat_tpu/native); the result is immutable.
+
+    The ``force_*`` parameters pin padded shapes and static metadata so the
+    per-device shards of a partitioned graph compile to one SPMD program
+    (kgat_tpu.parallel.partition): force_rel_pad maps relation id -> padded
+    block size and creates a block even for relations absent in this shard.
     """
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
@@ -220,6 +253,10 @@ def build_graph(
     # final chunk may read up to edge_block-1 slots past the last real edge.
     # (Also guarantees >= 1 dead slot for the attention layout to point at.)
     n_pad = max(_round_up(n_edges + edge_block, edge_block), edge_block)
+    if force_edge_pad is not None:
+        if force_edge_pad < n_edges + 1:
+            raise ValueError("force_edge_pad leaves no pad slot")
+        n_pad = int(force_edge_pad)
     pad = n_pad - n_edges
     src_p = np.concatenate([src, np.zeros(pad, np.int32)])
     dst_p = np.concatenate([dst, np.full(pad, n_nodes, np.int32)])
@@ -235,8 +272,10 @@ def build_graph(
     # by src (SpMM backward runs on the reversed graph).
     dead = n_edges  # first canonical pad slot (mask 0)
     fwd_layout = _build_aligned_layout(
-        dst, src, n_nodes, dead, order=np.arange(n_edges, dtype=np.int64))
-    rev_layout = _build_aligned_layout(src, dst, n_nodes, dead)
+        dst, src, n_nodes, dead, order=np.arange(n_edges, dtype=np.int64),
+        force_chunks=force_fwd_chunks)
+    rev_layout = _build_aligned_layout(src, dst, n_nodes, dead,
+                                       force_chunks=force_rev_chunks)
 
     # Relation-blocked attention layout: stable argsort by etype over the
     # canonical order, then pad each relation block to rel_block with the
@@ -250,13 +289,21 @@ def build_graph(
         lo = np.searchsorted(rel_sorted_ety, r, side="left")
         hi = np.searchsorted(rel_sorted_ety, r, side="right")
         cnt = int(hi - lo)
-        cnt_pad = _round_up(max(cnt, 0), rel_block) if cnt > 0 else 0
+        if force_rel_pad is not None:
+            cnt_pad = int(force_rel_pad.get(r, 0))
+            if cnt_pad < cnt:
+                raise ValueError(f"force_rel_pad[{r}]={cnt_pad} < {cnt}")
+        else:
+            cnt_pad = _round_up(max(cnt, 0), rel_block) if cnt > 0 else 0
         if cnt_pad == 0:
             continue
         part = np.full(cnt_pad, np.int32(dead), np.int32)
         part[:cnt] = rel_order[lo:hi].astype(np.int32)
         gather_parts.append(part)
-        rel_blocks.append((r, pos, cnt, cnt_pad))
+        # Under forced padding the real count varies per SPMD shard; keep
+        # the static tuple shard-uniform with a -1 sentinel.
+        rel_blocks.append((r, pos, -1 if force_rel_pad is not None else cnt,
+                           cnt_pad))
         pos += cnt_pad
     att_gather = (
         np.concatenate(gather_parts) if gather_parts else np.zeros(0, np.int32)

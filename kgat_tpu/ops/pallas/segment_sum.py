@@ -98,6 +98,8 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
     if e_al != layout.n_chunks * ALIGN_CHUNK_EDGES:
         raise ValueError(f"vals length {e_al} != layout's "
                          f"{layout.n_chunks} chunks x {ALIGN_CHUNK_EDGES}")
+    if layout.n_chunks == 0:
+        return jnp.zeros((n_segments, d), vals.dtype)
     packed = vals.reshape(e_al // pack, LANE)
     chunk_rows = ALIGN_CHUNK_EDGES // pack
 
@@ -128,4 +130,8 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
             transcendentals=0,
         ),
     )(layout.chunk_block, layout.bounds, packed)
+    # Blocks with no chunks are never visited -> garbage rows; the bounds
+    # mask (hi > lo) zeroes them (and is a no-op for visited rows).
+    nonempty = (layout.bounds[:, :, 1] > layout.bounds[:, :, 0]).reshape(-1)
+    out = out * nonempty[:, None].astype(out.dtype)
     return out[:n_segments]

@@ -32,15 +32,15 @@ def make_mesh(n_devices: int = 0, axis: str = "dp") -> Mesh:
 
 
 def make_dp_cf_step(mesh: Mesh, graph: Graph, meta: CKGMeta,
-                    cfg: kgat.KGATConfig, opt: optax.GradientTransformation
-                    ) -> Callable:
+                    cfg: kgat.KGATConfig, opt: optax.GradientTransformation,
+                    axis: str = "dp") -> Callable:
     """Jitted CF step: batch sharded over `dp`, params replicated.
 
     Returns step(params, opt_state, att, u, ip, ineg, rng) -> (params,
     opt_state, loss). Batch size must divide the dp axis size.
     """
     repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P("dp"))
+    batch_sh = NamedSharding(mesh, P(axis))
 
     def loss_fn(params, att, u, ip, ineg, rng):
         return kgat.cf_loss(params, graph, att, meta, u, ip, ineg, cfg,
@@ -62,9 +62,10 @@ def make_dp_cf_step(mesh: Mesh, graph: Graph, meta: CKGMeta,
 
 
 def make_dp_kg_step(mesh: Mesh, cfg: kgat.KGATConfig,
-                    opt: optax.GradientTransformation) -> Callable:
+                    opt: optax.GradientTransformation,
+                    axis: str = "dp") -> Callable:
     repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P("dp"))
+    batch_sh = NamedSharding(mesh, P(axis))
 
     @functools.partial(
         jax.jit,

@@ -1,0 +1,176 @@
+"""Partitioned execution: shard_map ops over the edge-partition ('ep') axis.
+
+Communication structure (SURVEY.md §2.3, the ring-attention/CP analog for
+graphs): with 1D dst-partitioning,
+
+  attention (SDDMM + edge softmax)  -> zero communication
+  propagation SpMM forward          -> all-gather of layer activations
+                                       over ICI (boundary embeddings)
+  SpMM backward feature grads       -> the all-gather's transpose
+                                       (reduce-scatter/psum), inserted by
+                                       shard_map's AD automatically
+  loss/parameter gradients          -> psum (data-parallel over the same
+                                       axis: CF batches are ep-sharded too)
+
+The reference has no distributed path at all (SURVEY.md §2.3); there is
+nothing to port — this is new capability designed for the TPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kgat_tpu.graph import ALIGN_BLOCK_ROWS, CKGMeta, Graph
+from kgat_tpu.models import kgat
+from kgat_tpu.ops import pallas_backend as pb
+from kgat_tpu.parallel.partition import PartitionInfo
+
+AXIS = "ep"
+
+
+def _local(tree):
+    """Strip the leading shard axis inside shard_map (leaf shape (1, ...))."""
+    return jax.tree.map(lambda a: a[0], tree)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned SpMM: (n_pad, d) replicated features -> (R, d) owned rows.
+# Two reduce flavors over the same AlignedLayout: the Pallas kernel (TPU)
+# and a plain XLA segment_sum (CPU tests / debugging — interpret-mode
+# Pallas inside shard_map hangs on the CPU backend).
+# ---------------------------------------------------------------------------
+
+def _xla_reduce(layout, w_aligned, x, n_out):
+    vals = x[layout.node] * w_aligned[:, None]
+    # Dead positions carry w == 0 and seg == 0 (interspersed, so the ids
+    # are not globally sorted).
+    return jax.ops.segment_sum(vals, layout.seg, num_segments=n_out)
+
+
+def _make_pspmm(backend: str):
+    reduce_ = pb._layout_reduce if backend == "pallas" else _xla_reduce
+
+    @jax.custom_vjp
+    def pspmm(w_fwd, w_rev, x, fwd_layout, rev_layout):
+        n_out = fwd_layout.n_blocks * ALIGN_BLOCK_ROWS
+        return reduce_(fwd_layout, w_fwd, x, n_out)
+
+    def fwd(w_fwd, w_rev, x, fwd_layout, rev_layout):
+        return pspmm(w_fwd, w_rev, x, fwd_layout, rev_layout), \
+            (w_fwd, w_rev, x, fwd_layout, rev_layout)
+
+    def bwd(res, g):
+        w_fwd, w_rev, x, fwd_layout, rev_layout = res
+        d_w_fwd = jnp.sum(x[fwd_layout.node] * g[fwd_layout.seg], axis=-1)
+        n_in = rev_layout.n_blocks * ALIGN_BLOCK_ROWS
+        d_x = reduce_(rev_layout, w_rev, g, n_in)
+        return (d_w_fwd, None, d_x, None, None)
+
+    pspmm.defvjp(fwd, bwd)
+    return pspmm
+
+
+# ---------------------------------------------------------------------------
+# Partitioned model fns. All are *inner* fns meant to run inside shard_map.
+# ---------------------------------------------------------------------------
+
+def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
+                     meta: CKGMeta, cfg: kgat.KGATConfig):
+    """Build jitted partitioned attention / propagate / cf-step callables."""
+    N, n_pad, R = info.n_nodes_global, info.n_nodes_pad, info.rows_per_part
+    pspmm = _make_pspmm(cfg.ops_backend)
+
+    def attention_inner(g_stack, params):
+        g = _local(g_stack)
+        att = jax.lax.stop_gradient(kgat.compute_attention(params, g, cfg))
+        ew = pb.prepare_weights(g, att)
+        return jax.tree.map(lambda a: a[None], (att, ew))
+
+    attention = jax.jit(jax.shard_map(
+        attention_inner, mesh=mesh,
+        in_specs=(P(AXIS), P()), out_specs=P(AXIS),
+        check_vma=False))
+
+    def propagate_inner(g_stack, ew_stack, params, rng, train: bool):
+        g = _local(g_stack)
+        ew = _local(ew_stack)
+        p_idx = jax.lax.axis_index(AXIS)
+        ego_g = params["entity_embed"]
+        outs = [ego_g]
+        x = jnp.pad(ego_g, ((0, n_pad - N), (0, 0)))
+        for li, layer in enumerate(params["layers"]):
+            side = pspmm(ew.fwd, ew.rev, x, g.fwd_layout, g.rev_layout)
+            ego = jax.lax.dynamic_slice(x, (p_idx * R, 0),
+                                        (R, x.shape[1]))
+            slope = cfg.leaky_relu_slope
+            leaky = lambda v: jnp.where(v >= 0, v, slope * v)  # noqa: E731
+            if cfg.aggregator == "gcn":
+                ego = leaky((ego + side) @ layer["w"] + layer["b"])
+            elif cfg.aggregator == "graphsage":
+                ego = leaky(jnp.concatenate([ego, side], -1) @ layer["w"]
+                            + layer["b"])
+            else:
+                ego = (leaky((ego + side) @ layer["w1"] + layer["b1"])
+                       + leaky((ego * side) @ layer["w2"] + layer["b2"]))
+            if train and cfg.mess_dropout[li] > 0:
+                rng, sub = jax.random.split(rng)
+                sub = jax.random.fold_in(sub, p_idx)  # independent per shard
+                keep = 1.0 - cfg.mess_dropout[li]
+                m = jax.random.bernoulli(sub, keep, ego.shape)
+                ego = jnp.where(m, ego / keep, 0.0)
+            # One all-gather per layer: boundary embeddings ride ICI.
+            x = jax.lax.all_gather(ego, AXIS, tiled=True)   # (n_pad, d)
+            norm = x[:N] / jnp.sqrt(jnp.maximum(
+                jnp.sum(x[:N] ** 2, -1, keepdims=True), 1e-12))
+            outs.append(norm)
+        return jnp.concatenate(outs, axis=-1)                # (N, D) replicated
+
+    def cf_loss_inner(g_stack, ew_stack, params, u, ip, ineg, w, rng):
+        all_embed = propagate_inner(g_stack, ew_stack, params, rng, True)
+        ue = all_embed[meta.user_node(u)]
+        pe = all_embed[ip]
+        ne = all_embed[ineg]
+        pos = jnp.sum(ue * pe, -1)
+        neg = jnp.sum(ue * ne, -1)
+        bpr = -jax.nn.log_sigmoid(pos - neg) * w
+        n_valid = jnp.maximum(jax.lax.psum(jnp.sum(w), AXIS), 1.0)
+        loss = jax.lax.psum(jnp.sum(bpr), AXIS) / n_valid
+        reg = jax.lax.psum(
+            0.5 * (jnp.sum(ue ** 2) + jnp.sum(pe ** 2) + jnp.sum(ne ** 2)),
+            AXIS) / n_valid
+        return loss + cfg.reg_cf * reg
+
+    def make_cf_step(opt: optax.GradientTransformation):
+        def loss_fn(params, ew_stack, u, ip, ineg, w, rng):
+            inner = functools.partial(cf_loss_inner)
+            smapped = jax.shard_map(
+                inner, mesh=mesh,
+                in_specs=(P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS),
+                          P(AXIS), P(AXIS), P()),
+                out_specs=P(), check_vma=False)
+            return smapped(pgraph, ew_stack, params, u, ip, ineg, w, rng)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, ew_stack, u, ip, ineg, w, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, ew_stack, u, ip, ineg, w, rng)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    def propagate_eval(ew_stack, params):
+        inner = functools.partial(propagate_inner, rng=None, train=False)
+        smapped = jax.shard_map(
+            lambda g, e, p: inner(g, e, p),
+            mesh=mesh, in_specs=(P(AXIS), P(AXIS), P()), out_specs=P(),
+            check_vma=False)
+        return smapped(pgraph, ew_stack, params)
+
+    return attention, jax.jit(propagate_eval), make_cf_step

@@ -1,0 +1,161 @@
+"""Edge partitioning of the CKG across a device mesh.
+
+The north-star's centerpiece (BASELINE.json:5, SURVEY.md §2.3 SP/CP row):
+shard the collaborative knowledge graph's EDGES across chips so attention
+recompute and propagation scale in edges/s. Strategy: **1D destination
+partition** — each device owns a contiguous block of destination rows and
+every edge pointing into them. Consequences (why dst, not src or 2D):
+
+* Edge-softmax normalizes per destination (SURVEY.md §2.8 A5), so the
+  entire attention recompute — SDDMM + softmax — is embarrassingly
+  parallel: no communication at all.
+* The SpMM segment-reduce is local per device (its output rows are owned);
+  the only forward communication is obtaining source-node embeddings,
+  which ride an all-gather over ICI per layer (selective halo all-to-all
+  is the planned refinement when tables outgrow replication).
+* SpMM backward's feature gradient lands on arbitrary source rows; the
+  shard_map transpose of the all-gather is exactly the reduce-scatter /
+  psum that sums the per-device partials.
+
+All shards share one SPMD program: padded shapes and static metadata are
+forced uniform (max across shards) via build_graph's force_* parameters.
+The per-shard Graphs are stacked leaf-wise into a single Graph pytree whose
+arrays carry a leading 'ep' axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kgat_tpu.graph import (ALIGN_BLOCK_ROWS, ALIGN_CHUNK_EDGES, CKGMeta,
+                            Graph, build_graph, _round_up)
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitionInfo:
+    n_parts: int
+    rows_per_part: int       # multiple of 128; device p owns rows [p*R, (p+1)*R)
+    n_nodes_global: int
+    n_nodes_pad: int         # rows_per_part * n_parts
+
+
+def _needed_chunks(seg: np.ndarray, n_rows: int) -> int:
+    """Chunks an AlignedLayout will need for these segment ids."""
+    if len(seg) == 0:
+        return 0
+    blk = np.bincount(seg // ALIGN_BLOCK_ROWS,
+                      minlength=-(-n_rows // ALIGN_BLOCK_ROWS))
+    return int(np.sum(-(-blk // ALIGN_CHUNK_EDGES)))
+
+
+def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
+                    n_nodes: int, n_relations: int, n_parts: int,
+                    ) -> Tuple[Graph, PartitionInfo]:
+    """Partition edges by destination block into a stacked SPMD Graph.
+
+    Returns a Graph whose array leaves have a leading (n_parts,) axis and
+    whose static metadata is shard-uniform. Shard-local conventions:
+    ``dst`` holds GLOBAL head ids (so attention gathers need no offset);
+    the forward layout's segments are LOCAL rows (0..rows_per_part); the
+    reverse layout's segments are GLOBAL source rows (feature gradients are
+    per-shard partials over the whole table, summed by the all-gather
+    transpose).
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    etype = np.asarray(etype, np.int64)
+    R = _round_up(-(-n_nodes // n_parts), ALIGN_BLOCK_ROWS)
+    info = PartitionInfo(n_parts=n_parts, rows_per_part=R,
+                         n_nodes_global=n_nodes, n_nodes_pad=R * n_parts)
+
+    shards = []
+    for p in range(n_parts):
+        sel = (dst >= p * R) & (dst < (p + 1) * R)
+        shards.append((src[sel], dst[sel], etype[sel]))
+
+    # Force shard-uniform shapes/static metadata.
+    max_edges = max(len(s[0]) for s in shards)
+    edge_pad = max(_round_up(max_edges + 2048, 2048), 2048)
+    rel_pad = {}
+    for r in range(n_relations):
+        m = max(int(np.sum(s[2] == r)) for s in shards)
+        if m > 0:
+            rel_pad[r] = _round_up(m, 512)
+    fwd_chunks = max(max(_needed_chunks((s[1] - p * R), R)
+                         for p, s in enumerate(shards)), 1)
+    rev_chunks = max(max(_needed_chunks(s[0], info.n_nodes_pad)
+                         for s in shards), 1)
+
+    built = []
+    for p, (s_src, s_dst, s_ety) in enumerate(shards):
+        g = _build_shard(s_src, s_dst, s_ety, p, info, n_relations,
+                         edge_pad, rel_pad, fwd_chunks, rev_chunks)
+        built.append(g)
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
+    return stacked, info
+
+
+def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
+                 edge_pad, rel_pad, fwd_chunks, rev_chunks) -> Graph:
+    """One shard's Graph, in mixed coordinates (see partition_graph)."""
+    R = info.rows_per_part
+    # Build against LOCAL dst so canonical order / CSR / fwd layout are
+    # local; then rewrite dst to global and rebuild the reverse layout
+    # against the global row space.
+    g = build_graph(
+        src.astype(np.int64), (dst - p * R).astype(np.int64),
+        ety.astype(np.int64),
+        # src ids live in the global space; give build_graph the global
+        # bound so its range checks pass (fwd segments use local dst which
+        # is < R <= bound).
+        n_nodes=max(info.n_nodes_pad, info.n_nodes_global),
+        n_relations=n_relations,
+        force_edge_pad=edge_pad, force_rel_pad=rel_pad,
+        force_fwd_chunks=None, force_rev_chunks=rev_chunks,
+    )
+    # Rebuild the forward layout against the LOCAL row count (R) with the
+    # forced chunk budget, and fix CSR/sentinels to local conventions.
+    from kgat_tpu.graph import _build_aligned_layout
+    n_e = len(src)
+    dst_local_sorted = np.asarray(g.dst)[:n_e]   # local (build used local)
+    src_sorted = np.asarray(g.src)[:n_e]
+    fwd = _build_aligned_layout(
+        dst_local_sorted.astype(np.int64), src_sorted.astype(np.int64),
+        R, n_e, order=np.arange(n_e, dtype=np.int64),
+        force_chunks=fwd_chunks)
+    # Reverse layout: segments = global src, other = LOCAL dst.
+    rev = _build_aligned_layout(
+        src_sorted.astype(np.int64), dst_local_sorted.astype(np.int64),
+        info.n_nodes_pad, n_e, force_chunks=rev_chunks)
+
+    # Global dst for attention gathers (sentinel -> global n_nodes).
+    dst_global = np.where(np.asarray(g.edge_mask) > 0,
+                          np.asarray(g.dst) + p * R,
+                          info.n_nodes_global).astype(np.int32)
+    # Local CSR offsets over local dst (R + 2 rows incl. sentinel).
+    dst_local_pad = np.where(np.asarray(g.edge_mask) > 0,
+                             np.asarray(g.dst), R)
+    row_offsets = np.searchsorted(dst_local_pad,
+                                  np.arange(R + 2)).astype(np.int32)
+
+    return Graph(
+        src=g.src,
+        dst=jnp.asarray(dst_global),
+        etype=g.etype,
+        edge_mask=g.edge_mask,
+        row_offsets=jnp.asarray(row_offsets),
+        att_gather=g.att_gather,
+        fwd_layout=fwd,
+        rev_layout=rev,
+        n_nodes=info.n_nodes_global,
+        n_edges=-1,  # shard-dependent; uniform sentinel for SPMD stacking
+        n_edges_pad=g.n_edges_pad,
+        n_relations=g.n_relations,
+        rel_blocks=g.rel_blocks,
+    )

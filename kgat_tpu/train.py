@@ -52,6 +52,9 @@ class Trainer:
         self.ds = dataset if dataset is not None else load_any_dataset(cfg)
         self.graph, self.meta = self.ds.build()
         self.logger = RunLogger(cfg.log_dir, cfg.run_name)
+        n_dev = len(jax.devices()) if cfg.n_devices == 0 else cfg.n_devices
+        self.n_devices = n_dev
+        self.partitioned = n_dev > 1
 
         # Samplers: CF over train interactions; KG over all CKG triples.
         self.cf_table = CFSampleTable.build(
@@ -88,6 +91,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _build_steps(self):
+        if self.partitioned:
+            self._build_partitioned_steps()
+            return
         cfg, graph, meta = self.cfg, self.graph, self.meta
         mcfg = cfg.model
         opt = self.opt
@@ -174,11 +180,58 @@ class Trainer:
                             np.asarray(graph.src)[:graph.n_edges]], axis=1)
             self._host_kg = HostKGSampler(tri, self.meta.n_nodes, cfg.seed)
 
+    def _build_partitioned_steps(self):
+        """Edge-partitioned CF phase + data-parallel KG phase over a mesh
+        (BASELINE config 5: multi-device with boundary-embedding exchange)."""
+        from kgat_tpu.parallel.dp import make_dp_kg_step, make_mesh
+        from kgat_tpu.parallel.halo import AXIS, make_partitioned
+        from kgat_tpu.parallel.partition import partition_graph
+
+        cfg, graph, meta = self.cfg, self.graph, self.meta
+        g = graph
+        src = np.asarray(g.src)[: g.n_edges]
+        dst = np.asarray(g.dst)[: g.n_edges]
+        ety = np.asarray(g.etype)[: g.n_edges]
+        self.mesh = make_mesh(self.n_devices, axis=AXIS)
+        self.pgraph, self.pinfo = partition_graph(
+            src, dst, ety, meta.n_nodes, meta.n_relations, self.n_devices)
+        attention_p, propagate_eval_p, make_cf_step = make_partitioned(
+            self.mesh, self.pgraph, self.pinfo, meta, cfg.model)
+        self._attention = lambda params: attention_p(self.pgraph, params)[1]
+        self._propagate_eval = propagate_eval_p
+        self._cf_step_part = make_cf_step(self.opt)
+        self._kg_step_part = make_dp_kg_step(self.mesh, cfg.model, self.opt,
+                                             axis=AXIS)
+        # batch sizes must divide the device count
+        rnd = lambda b: -(-b // self.n_devices) * self.n_devices  # noqa: E731
+        self._cf_bs = rnd(cfg.cf_batch_size)
+        self._kg_bs = rnd(cfg.kg_batch_size)
+
+    def _partitioned_epoch(self, r_cf, r_kg, ew) -> Tuple[float, float]:
+        cf_losses, kg_losses = [], []
+        for _ in range(self.n_cf_batches):
+            r_cf, k_s, k_d = jax.random.split(r_cf, 3)
+            u, ip, ineg, w = sample_cf_batch(self.cf_table, k_s, self._cf_bs)
+            self.params, self.opt_state, l = self._cf_step_part(
+                self.params, self.opt_state, ew, u, ip, ineg, w, k_d)
+            cf_losses.append(l)
+        for _ in range(self.n_kg_batches):
+            r_kg, k_s = jax.random.split(r_kg)
+            h, r, tp, tn, _w = sample_kg_batch(self.kg_table, k_s,
+                                               self._kg_bs)
+            self.params, self.opt_state, l = self._kg_step_part(
+                self.params, self.opt_state, h, r, tp, tn)
+            kg_losses.append(l)
+        return (float(np.mean([float(x) for x in cf_losses])),
+                float(np.mean([float(x) for x in kg_losses])))
+
     # ------------------------------------------------------------------
     def train_one_epoch(self) -> Tuple[float, float]:
         cfg = self.cfg
         self.rng, r_cf, r_kg = jax.random.split(self.rng, 3)
         att = self._attention(self.params)
+        if self.partitioned:
+            return self._partitioned_epoch(r_cf, r_kg, att)
         if cfg.sampler == "device":
             self.params, self.opt_state, cf_l = self._cf_epoch(
                 self.params, self.opt_state, att, r_cf)
@@ -205,7 +258,10 @@ class Trainer:
 
     def evaluate(self) -> dict:
         att = self._attention(self.params)
-        all_embed = self._all_embed(self.params, att)
+        if self.partitioned:
+            all_embed = self._propagate_eval(att, self.params)
+        else:
+            all_embed = self._all_embed(self.params, att)
         return evaluation.evaluate(all_embed, self.meta, self.eval_plan,
                                    k=self.cfg.k)
 

@@ -1,0 +1,146 @@
+"""Edge-partitioned execution vs single-device (SURVEY.md §4.3: fake
+multi-chip with 8 virtual CPU devices; partitioned output must match the
+single-device result within fp32 sum-order tolerance)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from kgat_tpu.data import synthetic_dataset
+from kgat_tpu.models import kgat
+from kgat_tpu.models.kgat import KGATConfig
+from kgat_tpu.parallel.dp import make_mesh
+from kgat_tpu.parallel.halo import AXIS, make_partitioned
+from kgat_tpu.parallel.partition import partition_graph
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = synthetic_dataset(seed=21, n_users=80, n_items=60, n_entities=120,
+                           n_relations_kg=3, n_interactions=900,
+                           n_triples=700)
+    g, meta = ds.build()
+    src = np.asarray(g.src)[: g.n_edges]
+    dst = np.asarray(g.dst)[: g.n_edges]
+    ety = np.asarray(g.etype)[: g.n_edges]
+    mesh = make_mesh(8, axis=AXIS)
+    pg, info = partition_graph(src, dst, ety, meta.n_nodes,
+                               meta.n_relations, 8)
+    # ref backend: interpret-mode Pallas inside shard_map hangs on CPU;
+    # the pallas+shard_map composition is exercised on the real TPU.
+    cfg = KGATConfig(ops_backend="ref")
+    params = kgat.init_params(jax.random.key(0), meta.n_nodes,
+                              meta.n_relations, cfg)
+    return g, meta, mesh, pg, info, cfg, params
+
+
+def test_partition_covers_all_edges(setup):
+    g, meta, mesh, pg, info, cfg, params = setup
+    # Every real edge appears in exactly one shard, dst in that shard's range.
+    masks = np.asarray(pg.edge_mask)            # (P, E_pad)
+    assert int(masks.sum()) == g.n_edges
+    dsts = np.asarray(pg.dst)
+    for p in range(info.n_parts):
+        real = masks[p] > 0
+        d = dsts[p][real]
+        assert ((d >= p * info.rows_per_part)
+                & (d < (p + 1) * info.rows_per_part)).all()
+
+
+def test_partitioned_attention_and_propagate_match_single(setup):
+    g, meta, mesh, pg, info, cfg, params = setup
+    att_s = kgat.compute_attention(params, g, cfg)
+    emb_s = kgat.propagate(params, g, att_s, cfg)
+
+    attention, propagate_eval, _ = make_partitioned(
+        mesh, pg, info, meta, cfg)
+    att_stack, ew_stack = attention(pg, params)
+    emb_p = propagate_eval(ew_stack, params)
+
+    # Attention values: compare per-edge via (src, dst, etype) keys.
+    att_s = np.asarray(att_s)
+    src_s = np.asarray(g.src)[: g.n_edges]
+    dst_s = np.asarray(g.dst)[: g.n_edges]
+    ety_s = np.asarray(g.etype)[: g.n_edges]
+    want = {(int(s), int(d), int(t)): float(a)
+            for s, d, t, a in zip(src_s, dst_s, ety_s, att_s[: g.n_edges])}
+    att_p = np.asarray(att_stack)
+    masks = np.asarray(pg.edge_mask)
+    srcs, dsts, etys = (np.asarray(pg.src), np.asarray(pg.dst),
+                        np.asarray(pg.etype))
+    checked = 0
+    for p in range(info.n_parts):
+        for e in np.nonzero(masks[p] > 0)[0]:
+            key = (int(srcs[p][e]), int(dsts[p][e]), int(etys[p][e]))
+            np.testing.assert_allclose(att_p[p][e], want[key],
+                                       rtol=1e-4, atol=1e-6)
+            checked += 1
+    assert checked == g.n_edges
+
+    np.testing.assert_allclose(np.asarray(emb_p), np.asarray(emb_s),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_partitioned_cf_step_matches_single(setup):
+    g, meta, mesh, pg, info, cfg, params = setup
+    cfg0 = KGATConfig(ops_backend="ref",
+                      mess_dropout=(0.0, 0.0, 0.0))  # drop randomness
+    opt = optax.adam(1e-3)
+    B = 32
+    u = jnp.arange(B, dtype=jnp.int32) % meta.n_users
+    ip = jnp.arange(B, dtype=jnp.int32) % meta.n_items
+    ineg = (jnp.arange(B, dtype=jnp.int32) + 3) % meta.n_items
+    w = jnp.ones(B)
+    rng = jax.random.key(9)
+
+    attention, _, make_cf_step = make_partitioned(
+        mesh, pg, info, meta, cfg0)
+    _, ew_stack = attention(pg, params)
+    step = make_cf_step(opt)
+    p_p, _, loss_p = step(jax.tree.map(jnp.copy, params),
+                          opt.init(params), ew_stack, u, ip, ineg, w, rng)
+
+    att_s = kgat.compute_attention(params, g, cfg0)
+
+    @jax.jit
+    def single(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: kgat.cf_loss(p, g, att_s, meta, u, ip, ineg, cfg0,
+                                   rng=rng, train=True,
+                                   weight=w))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), loss
+
+    p_s, loss_s = single(jax.tree.map(jnp.copy, params),
+                         opt.init(params))
+
+    np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_p["entity_embed"]),
+                               np.asarray(p_s["entity_embed"]), atol=2e-5)
+
+
+def test_partitioned_trainer_e2e(tmp_path):
+    """Config 5's shape: multi-device trainer with edge-partitioned CF
+    phase + DP KG phase, driven end-to-end for two epochs."""
+    from kgat_tpu.train import Trainer
+    from kgat_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        dataset="synthetic", epochs=2, eval_every=2, lr=5e-3,
+        cf_batch_size=64, kg_batch_size=64, n_devices=8, seed=5,
+        log_dir=str(tmp_path),
+        syn_users=50, syn_items=40, syn_entities=80, syn_relations=3,
+        syn_interactions=500, syn_triples=400,
+        model=KGATConfig(aggregator="bi-interaction", conv_dims=(16, 8),
+                         mess_dropout=(0.1, 0.1), embed_dim=16,
+                         relation_dim=16, ops_backend="ref"),
+    )
+    tr = Trainer(cfg)
+    assert tr.partitioned and tr.n_devices == 8
+    cf1, kg1 = tr.train_one_epoch()
+    cf2, kg2 = tr.train_one_epoch()
+    assert np.isfinite([cf1, cf2, kg1, kg2]).all()
+    assert cf2 < cf1 and kg2 < kg1
+    m = tr.evaluate()
+    assert 0 <= m["recall"] <= 1
