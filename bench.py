@@ -100,12 +100,14 @@ def bench_backend(graph, meta, backend: str, batch: int, iters: int):
                               meta.n_relations, cfg)
     E, L = graph.n_edges, len(cfg.conv_dims)
 
-    att_timed = jax.jit(
-        lambda p, i: jnp.sum(kgat.compute_attention(p, graph, cfg))
-        * 1e-20 + i)
+    def att_sum(p):
+        a = kgat.attention_for_training(p, graph, cfg)
+        return sum(jnp.sum(x) for x in jax.tree.leaves(a))
+
+    att_timed = jax.jit(lambda p, i: att_sum(p) * 1e-20 + i)
     t_att = median_time(att_timed, params, iters=iters)
-    att = jax.jit(lambda p: kgat.prepare_attention(
-        graph, kgat.compute_attention(p, graph, cfg), cfg))(params)
+    att = jax.jit(lambda p: kgat.attention_for_training(
+        graph=graph, params=p, cfg=cfg))(params)
 
     fwd_timed = jax.jit(
         lambda p, a, i: jnp.sum(kgat.propagate(p, graph, a, cfg))
@@ -143,12 +145,49 @@ def bench_backend(graph, meta, backend: str, batch: int, iters: int):
     }
 
 
+def roofline(graph, meta, res: dict):
+    """Speed-of-light analysis (SURVEY.md §5): measure the device's actual
+    streaming/gather/matmul rates, then bound each pipeline stage."""
+    E, d = graph.n_edges, 64
+    x = jax.random.normal(jax.random.key(0), (max(meta.n_nodes, 1), 128))
+    idx = jax.random.randint(jax.random.key(1), (E,), 0, meta.n_nodes)
+
+    t_read = median_time(jax.jit(lambda v, i: jnp.sum(v) * 1e-20 + i), x,
+                         iters=5)
+    bw_seq = x.size * 4 / t_read
+    t_gather = median_time(
+        jax.jit(lambda v, ii, i: jnp.sum(v[ii]) * 1e-20 + i), x, idx,
+        iters=5)
+    bw_gather = E * 128 * 4 / t_gather
+    a8 = jax.random.normal(jax.random.key(2), (8192, 8192), jnp.bfloat16)
+    t_mm = median_time(
+        jax.jit(lambda m, i: jnp.sum(m @ m) * 1e-20 + i), a8, iters=5)
+    tflops = 2 * 8192 ** 3 / t_mm / 1e12
+
+    # Per-layer SpMM floor: gather x rows (random) + stream vals (seq).
+    gather_ms = E * d * 4 / bw_gather * 1e3
+    stream_ms = E * d * 4 / bw_seq * 1e3
+    out = {
+        "seq_read_gb_s": round(bw_seq / 1e9, 1),
+        "gather_gb_s": round(bw_gather / 1e9, 1),
+        "mxu_bf16_tflops": round(tflops, 1),
+        "spmm_fwd_floor_ms": round(gather_ms + stream_ms, 2),
+        "spmm_fwd_measured_ms": round(
+            res["t_forward_s"] / 3 * 1e3, 2),
+    }
+    out["spmm_efficiency"] = round(
+        out["spmm_fwd_floor_ms"] / max(out["spmm_fwd_measured_ms"], 1e-9), 3)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="yelp2018", choices=sorted(PRESETS))
     p.add_argument("--backend", default="ref", choices=["ref", "pallas"])
     p.add_argument("--compare", action="store_true",
                    help="also run the ref path and report speedup")
+    p.add_argument("--roofline", action="store_true",
+                   help="measure device limits and report stage efficiency")
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--iters", type=int, default=10)
     a = p.parse_args(argv)
@@ -190,6 +229,8 @@ def main(argv=None):
         "t_forward_ms": round(res["t_forward_s"] * 1e3, 3),
         **ref_fields,
     }
+    if a.roofline:
+        out.update(roofline(graph, meta, res))
     print(json.dumps(out))
     return out
 

@@ -65,7 +65,7 @@ class Dataset:
     def n_kg_train(self) -> int:
         return len(self.kg_triples)
 
-    def build(self, *, edge_block: int = 2048, rel_block: int = 512
+    def build(self, *, edge_block: int = 2048, rel_block: int = 1024
               ) -> Tuple[Graph, CKGMeta]:
         """Construct the collaborative knowledge graph from train CF + KG."""
         return build_ckg(

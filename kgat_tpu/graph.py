@@ -52,6 +52,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def cross_layout_perms(att_gather: np.ndarray, fwd_gather: np.ndarray,
+                       rev_gather: np.ndarray, n_edges: int, n_pad: int):
+    """Cross-layout permutations for the fused attention pipeline.
+
+    Returns (att_to_fwd, rev_from_fwd): attention-layout position -> forward
+    aligned position, and reverse-aligned position -> forward position.
+    Dead positions map one-past-the-end (consumers use scatter mode='drop'
+    / jnp.take mode='fill').
+    """
+    e_al_fwd = len(fwd_gather)
+    inv_fwd = np.full(n_pad + 1, e_al_fwd, np.int64)
+    real_f = fwd_gather < n_edges
+    inv_fwd[fwd_gather[real_f]] = np.nonzero(real_f)[0]
+    att_to_fwd = (inv_fwd[np.minimum(att_gather, n_pad)]
+                  if len(att_gather) else np.zeros(0, np.int64))
+    rev_from_fwd = np.where(rev_gather < n_edges,
+                            inv_fwd[np.minimum(rev_gather, n_pad)], e_al_fwd)
+    return att_to_fwd, rev_from_fwd
+
+
 def _stable_sort_perm(keys: np.ndarray, n_keys: int) -> np.ndarray:
     """Stable sort permutation: native counting sort or numpy argsort."""
     if _native is not None and len(keys) > 0:
@@ -80,6 +100,9 @@ class Graph:
     # DGL's dual-op autograd rule (SURVEY.md §2.2).
     fwd_layout: "AlignedLayout"
     rev_layout: "AlignedLayout"
+    # Static cross-layout permutations for the fused attention pipeline:
+    att_to_fwd: jax.Array   # (E_att_pad,) att pos -> fwd-aligned pos (pads -> E_al_fwd, OOB)
+    rev_from_fwd: jax.Array  # (E_al_rev,) rev pos -> fwd pos (dead -> OOB)
 
     # --- static metadata (pytree aux) ---
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
@@ -216,7 +239,7 @@ def build_graph(
     n_relations: int,
     *,
     edge_block: int = 2048,
-    rel_block: int = 512,
+    rel_block: int = 1024,
     force_edge_pad: int | None = None,
     force_rel_pad: "dict[int, int] | None" = None,
     force_fwd_chunks: int | None = None,
@@ -309,6 +332,10 @@ def build_graph(
         np.concatenate(gather_parts) if gather_parts else np.zeros(0, np.int32)
     )
 
+    att_to_fwd, rev_from_fwd = cross_layout_perms(
+        att_gather, np.asarray(fwd_layout.gather),
+        np.asarray(rev_layout.gather), n_edges, n_pad)
+
     return Graph(
         src=jnp.asarray(src_p),
         dst=jnp.asarray(dst_p),
@@ -318,6 +345,8 @@ def build_graph(
         att_gather=jnp.asarray(att_gather),
         fwd_layout=fwd_layout,
         rev_layout=rev_layout,
+        att_to_fwd=jnp.asarray(att_to_fwd.astype(np.int32)),
+        rev_from_fwd=jnp.asarray(rev_from_fwd.astype(np.int32)),
         n_nodes=int(n_nodes),
         n_edges=n_edges,
         n_edges_pad=int(n_pad),
@@ -356,7 +385,7 @@ def build_ckg(
     n_relations_kg: int,
     *,
     edge_block: int = 2048,
-    rel_block: int = 512,
+    rel_block: int = 1024,
 ) -> Tuple[Graph, CKGMeta]:
     """Construct the collaborative knowledge graph (SURVEY.md §2.4).
 

@@ -61,12 +61,28 @@ def _xavier(rng, shape, dtype):
 
 
 def init_params(rng: jax.Array, n_nodes: int, n_relations: int,
-                cfg: KGATConfig) -> Params:
-    """Xavier-uniform init over full table shapes (matches the original impl)."""
+                cfg: KGATConfig, *, pretrain=None) -> Params:
+    """Xavier-uniform init over full table shapes (matches the original impl).
+
+    pretrain: optional (user_embed, item_embed, n_entities) — BPR-MF
+    pretrained embeddings as in the reference's --use_pretrain npz
+    (SURVEY.md §2.1 pretrain-loader row): item rows are entity ids
+    [0, n_items), user rows sit at n_entities + uid.
+    """
     keys = jax.random.split(rng, 4 + 4 * len(cfg.conv_dims))
     d, k = cfg.embed_dim, cfg.relation_dim
+    entity = _xavier(keys[0], (n_nodes, d), cfg.dtype)
+    if pretrain is not None:
+        user_embed, item_embed, n_entities = pretrain
+        user_embed = jnp.asarray(user_embed, cfg.dtype)
+        item_embed = jnp.asarray(item_embed, cfg.dtype)
+        if user_embed.shape[1] != d or item_embed.shape[1] != d:
+            raise ValueError("pretrain dims do not match embed_dim")
+        entity = entity.at[: item_embed.shape[0]].set(item_embed)
+        entity = entity.at[n_entities: n_entities
+                           + user_embed.shape[0]].set(user_embed)
     params: Params = {
-        "entity_embed": _xavier(keys[0], (n_nodes, d), cfg.dtype),
+        "entity_embed": entity,
         "rel_embed": _xavier(keys[1], (n_relations, k), cfg.dtype),
         "w_rel": _xavier(keys[2], (n_relations, d, k), cfg.dtype),
         "layers": [],
@@ -149,6 +165,20 @@ def prepare_attention(graph: Graph, att: jax.Array, cfg: KGATConfig):
         from kgat_tpu.ops import pallas_backend
         return pallas_backend.prepare_weights(graph, att)
     return att
+
+
+def attention_for_training(params: Params, graph: Graph, cfg: KGATConfig):
+    """Per-epoch attention recompute, no grad, pre-staged for the hot loop.
+
+    The pallas backend runs the fully fused pipeline (logits scattered
+    straight into the aligned layout, Pallas segment softmax there — no
+    canonical-order round trip); ref returns canonical weights.
+    """
+    if cfg.ops_backend == "pallas":
+        from kgat_tpu.ops import pallas_backend
+        return jax.lax.stop_gradient(
+            pallas_backend.attention_prepared(params, graph, cfg))
+    return jax.lax.stop_gradient(compute_attention(params, graph, cfg))
 
 
 # ---------------------------------------------------------------------------

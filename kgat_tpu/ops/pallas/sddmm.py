@@ -35,8 +35,10 @@ def _kernel(tile_rel_ref, eh_ref, et_ref, w_ref, er_ref, out_ref,
     pt = jax.lax.dot_general(et_ref[:], w, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=precision)
-    out_ref[:] = jnp.sum(pt * jnp.tanh(ph + er), axis=-1,
-                         keepdims=True).astype(out_ref.dtype)
+    logit = jnp.sum(pt * jnp.tanh(ph + er), axis=-1)          # (tile,)
+    # Lane-packed output: (tile,) -> (tile/128, 128) so writes use full
+    # 128-wide lanes instead of a width-1 column.
+    out_ref[:] = logit.reshape(out_ref.shape).astype(out_ref.dtype)
 
 
 def sddmm_transr(eh: jax.Array, et: jax.Array, w_rel: jax.Array,
@@ -53,6 +55,9 @@ def sddmm_transr(eh: jax.Array, et: jax.Array, w_rel: jax.Array,
     n_rel, _, k = w_rel.shape
     if e_att % tile != 0:
         raise ValueError(f"E_att={e_att} not a multiple of tile={tile}")
+    if tile % 128 != 0:
+        raise ValueError(f"tile={tile} must be a multiple of 128 (build the "
+                         f"graph with rel_block a multiple of 128)")
     n_tiles = e_att // tile
     # e_r via an (R, 8, k) broadcast so the block satisfies the (8, 128)
     # sublane/lane tiling rule (k == full lane dim is allowed).
@@ -71,13 +76,13 @@ def sddmm_transr(eh: jax.Array, et: jax.Array, w_rel: jax.Array,
             pl.BlockSpec((1, 8, k), lambda t, rel: (rel[t], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 1), lambda t, rel: (t, 0),
+        out_specs=pl.BlockSpec((tile // 128, 128), lambda t, rel: (t, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_kernel, precision=precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((e_att, 1), eh.dtype),
+        out_shape=jax.ShapeDtypeStruct((e_att // 128, 128), eh.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * e_att * d * k,
@@ -85,4 +90,4 @@ def sddmm_transr(eh: jax.Array, et: jax.Array, w_rel: jax.Array,
             transcendentals=e_att * k,
         ),
     )(tile_rel, eh, et, w_rel, er3)
-    return out[:, 0]
+    return out.reshape(e_att)

@@ -101,12 +101,11 @@ def spmm(graph: Graph, edge_w, x: jax.Array) -> jax.Array:
     return _spmm_p(ew.fwd, ew.rev, x, graph.fwd_layout, graph.rev_layout)
 
 
-def attention_logits(params, graph: Graph, cfg) -> jax.Array:
-    """Fused TransR attention logits (A4) over the relation-blocked layout.
+def _attention_logits_flat(params, graph: Graph) -> jax.Array:
+    """TransR attention logits (A4) in the relation-blocked att layout.
 
     Gathers happen in XLA (gather hardware path); the two projections,
-    tanh, and row-dot are one Pallas kernel (kernels/sddmm.py). Returns
-    canonical-order logits (E_pad,).
+    tanh, and row-dot are one Pallas kernel (kernels/sddmm.py).
     """
     tile = _att_tile(graph)
     tile_rel = _tile_rel_ids(graph, tile)
@@ -114,22 +113,47 @@ def attention_logits(params, graph: Graph, cfg) -> jax.Array:
     dst_c = jnp.minimum(graph.dst, graph.n_nodes - 1)
     eh = emb[dst_c[graph.att_gather]]     # heads (E_att_pad, d)
     et = emb[graph.src[graph.att_gather]]  # tails
-    flat = sddmm_transr(eh, et, params["w_rel"], params["rel_embed"],
+    return sddmm_transr(eh, et, params["w_rel"], params["rel_embed"],
                         tile_rel, tile)
+
+
+def attention_logits(params, graph: Graph, cfg) -> jax.Array:
+    """Canonical-order logits (E_pad,) — the parity-spec API."""
+    flat = _attention_logits_flat(params, graph)
     logits = jnp.zeros((graph.n_edges_pad,), flat.dtype)
     return logits.at[graph.att_gather].set(flat, mode="drop")
 
 
+def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:
+    """The fused attention pipeline: logits -> softmax -> EdgeWeights,
+    entirely in aligned layouts (A4 + A5).
+
+    Avoids the canonical-order round trip: one scatter routes the
+    relation-blocked logits straight into the forward-aligned order, the
+    Pallas segment softmax (kernels/softmax.py) normalizes there, and the
+    reverse weights are one static-permutation take. The XLA-composed path
+    measured ~285ms of scalar scatter/gather + softmax at Yelp2018 scale;
+    this pipeline replaces all of it with one scatter + one take + three
+    streaming kernel passes.
+    """
+    from kgat_tpu.ops.pallas.softmax import segment_softmax_aligned
+    flat = _attention_logits_flat(params, graph)
+    e_al = graph.fwd_layout.gather.shape[0]
+    logits_fwd = jnp.zeros((e_al,), flat.dtype).at[graph.att_to_fwd].set(
+        flat, mode="drop")
+    w_fwd = segment_softmax_aligned(logits_fwd, graph.fwd_layout)
+    w_rev = jnp.take(w_fwd, graph.rev_from_fwd, mode="fill", fill_value=0.0)
+    return EdgeWeights(fwd=w_fwd, rev=w_rev)
+
+
 def _att_tile(graph: Graph) -> int:
-    """Largest power-of-two tile (<=512) dividing every relation block."""
-    tile = 512
+    """Largest tile (<=1024, multiple of 1024 for the lane-packed output)
+    dividing every relation block."""
     sizes = [p for (_, _, _, p) in graph.rel_blocks]
-    while tile > 8 and any(s % tile for s in sizes):
-        tile //= 2
-    if any(s % tile for s in sizes):
+    if any(s % 1024 for s in sizes):
         raise ValueError("relation blocks not tile-aligned; rebuild the "
-                         "graph with rel_block >= 8")
-    return tile
+                         "graph with rel_block a multiple of 1024")
+    return 1024
 
 
 def _tile_rel_ids(graph: Graph, tile: int) -> jax.Array:

@@ -19,12 +19,11 @@ nothing to port — this is new capability designed for the TPU mesh.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from kgat_tpu.graph import ALIGN_BLOCK_ROWS, CKGMeta, Graph
 from kgat_tpu.models import kgat

@@ -85,7 +85,7 @@ def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
     for r in range(n_relations):
         m = max(int(np.sum(s[2] == r)) for s in shards)
         if m > 0:
-            rel_pad[r] = _round_up(m, 512)
+            rel_pad[r] = _round_up(m, 1024)
     fwd_chunks = max(max(_needed_chunks((s[1] - p * R), R)
                          for p, s in enumerate(shards)), 1)
     rev_chunks = max(max(_needed_chunks(s[0], info.n_nodes_pad)
@@ -134,6 +134,11 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
         src_sorted.astype(np.int64), dst_local_sorted.astype(np.int64),
         info.n_nodes_pad, n_e, force_chunks=rev_chunks)
 
+    from kgat_tpu.graph import cross_layout_perms
+    att_to_fwd, rev_from_fwd = cross_layout_perms(
+        np.asarray(g.att_gather), np.asarray(fwd.gather),
+        np.asarray(rev.gather), n_e, g.n_edges_pad)
+
     # Global dst for attention gathers (sentinel -> global n_nodes).
     dst_global = np.where(np.asarray(g.edge_mask) > 0,
                           np.asarray(g.dst) + p * R,
@@ -153,6 +158,8 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
         att_gather=g.att_gather,
         fwd_layout=fwd,
         rev_layout=rev,
+        att_to_fwd=jnp.asarray(att_to_fwd.astype(np.int32)),
+        rev_from_fwd=jnp.asarray(rev_from_fwd.astype(np.int32)),
         n_nodes=info.n_nodes_global,
         n_edges=-1,  # shard-dependent; uniform sentinel for SPMD stacking
         n_edges_pad=g.n_edges_pad,

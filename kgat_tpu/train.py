@@ -17,7 +17,6 @@ i.e. the collaborative knowledge graph the paper defines (SURVEY.md §2.4).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import time
 from typing import Optional, Tuple
@@ -77,8 +76,15 @@ class Trainer:
 
         self.rng = jax.random.key(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
+        pretrain = None
+        if cfg.pretrain_path:
+            # Reference --use_pretrain: BPR-MF npz with user_embed/item_embed.
+            z = np.load(cfg.pretrain_path)
+            pretrain = (z["user_embed"], z["item_embed"],
+                        self.meta.n_entities)
         self.params = kgat.init_params(
-            init_rng, self.meta.n_nodes, self.meta.n_relations, cfg.model)
+            init_rng, self.meta.n_nodes, self.meta.n_relations, cfg.model,
+            pretrain=pretrain)
         # One shared Adam over all params, both phases (the torch reference
         # drives both losses through a single optimizer instance).
         self.opt = optax.adam(cfg.lr)
@@ -142,9 +148,7 @@ class Trainer:
 
         @jax.jit
         def attention(params):
-            att = jax.lax.stop_gradient(
-                kgat.compute_attention(params, graph, mcfg))
-            return kgat.prepare_attention(graph, att, mcfg)
+            return kgat.attention_for_training(params, graph, mcfg)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def cf_step_host(params, opt_state, att, u, ip, ineg, rng):
@@ -296,11 +300,21 @@ class Trainer:
                         backend=cfg.model.ops_backend,
                         sampler=cfg.sampler)
         final = {}
+        profiling = False
+        if cfg.profile_epochs > 0 and cfg.log_dir:
+            # SURVEY.md §5 tracing: perfetto-compatible device trace.
+            jax.profiler.start_trace(f"{cfg.log_dir}/trace_{cfg.run_name}")
+            profiling = True
         while self.epoch < cfg.epochs:
             self.epoch += 1
             t0 = time.time()
             cf_l, kg_l = self.train_one_epoch()
             dt = time.time() - t0
+            if profiling and self.epoch >= cfg.profile_epochs:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logger.log("profile_saved",
+                                dir=f"{cfg.log_dir}/trace_{cfg.run_name}")
             # Propagation touches every edge per layer, fwd+bwd, per batch.
             edges = (self.n_cf_batches * len(cfg.model.conv_dims)
                      * g.n_edges * 3)  # fwd + 2 bwd segment passes

@@ -38,7 +38,9 @@ class TrainConfig:
     run_name: str = "kgat"
     ckpt_path: Optional[str] = None     # defaults to <log_dir>/<run_name>_best
     resume: bool = False
-    n_devices: int = 1                  # data-parallel devices (mesh axis 'dp')
+    n_devices: int = 1                  # >1/0: edge-partitioned over mesh
+    pretrain_path: Optional[str] = None  # npz with user_embed/item_embed
+    profile_epochs: int = 0             # capture a jax.profiler trace
     # synthetic dataset scale (used when dataset == synthetic)
     syn_users: int = 300
     syn_items: int = 200
@@ -59,17 +61,22 @@ PRESETS = {
     ),
     # 2: reference recipe, 3-layer bi-interaction
     "lastfm-bi": dict(dataset="last-fm",
-                      model=KGATConfig(aggregator="bi-interaction")),
+                      model=KGATConfig(aggregator="bi-interaction",
+                                       ops_backend="pallas")),
     # 3: GraphSage ablation on Amazon-book
     "amazon-graphsage": dict(dataset="amazon-book",
-                             model=KGATConfig(aggregator="graphsage")),
+                             model=KGATConfig(aggregator="graphsage",
+                                              ops_backend="pallas")),
     # 4: Yelp2018 with device-side BPR sampling
     "yelp-device-sampling": dict(dataset="yelp2018", sampler="device",
-                                 model=KGATConfig(aggregator="bi-interaction")),
+                                 model=KGATConfig(
+                                     aggregator="bi-interaction",
+                                     ops_backend="pallas")),
     # 5: edge-partitioned multi-device Yelp2018
     "yelp-partitioned": dict(dataset="yelp2018", sampler="device",
                              n_devices=0,  # 0 = use all available
-                             model=KGATConfig(aggregator="bi-interaction")),
+                             model=KGATConfig(aggregator="bi-interaction",
+                                              ops_backend="pallas")),
 }
 
 
@@ -99,13 +106,18 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--run-name", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--n-devices", type=int, default=None,
-                   help="data-parallel devices; 0 = all available")
+                   help="devices for edge-partitioned training; 0 = all")
+    p.add_argument("--use-pretrain", dest="pretrain_path", default=None,
+                   help="npz with user_embed/item_embed (BPR-MF init)")
+    p.add_argument("--profile-epochs", type=int, default=None,
+                   help="capture a jax.profiler trace of the first N epochs")
     a = p.parse_args(argv)
 
     cfg = TrainConfig(**PRESETS[a.preset]) if a.preset else TrainConfig()
     for field in ("dataset", "data_root", "lr", "cf_batch_size",
                   "kg_batch_size", "epochs", "eval_every", "stopping_steps",
-                  "k", "seed", "sampler", "log_dir", "run_name", "n_devices"):
+                  "k", "seed", "sampler", "log_dir", "run_name", "n_devices",
+                  "pretrain_path", "profile_epochs"):
         v = getattr(a, field)
         if v is not None:
             setattr(cfg, field, v)

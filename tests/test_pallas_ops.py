@@ -89,3 +89,21 @@ def test_pallas_full_model_parity(graph_meta):
             outs[backend] = np.asarray(kgat.cf_scores(emb, meta, u, it))
     np.testing.assert_allclose(outs["pallas"], outs["ref"],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_pipeline_matches_ref(graph_meta):
+    """attention_prepared (scatter->aligned softmax->take) must equal the
+    canonical-path softmax gathered into both layouts."""
+    g, meta = graph_meta
+    cfg_ref = KGATConfig(ops_backend="ref")
+    cfg_pal = KGATConfig(ops_backend="pallas")
+    params = kgat.init_params(jax.random.key(8), meta.n_nodes,
+                              meta.n_relations, cfg_ref)
+    att = kgat.compute_attention(params, g, cfg_ref)
+    want = pb.prepare_weights(g, att)
+    with pltpu.force_tpu_interpret_mode():
+        got = pb.attention_prepared(params, g, cfg_pal)
+    np.testing.assert_allclose(np.asarray(got.fwd), np.asarray(want.fwd),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.rev), np.asarray(want.rev),
+                               rtol=1e-4, atol=1e-6)
