@@ -194,3 +194,27 @@ def synthetic_dataset(
         n_users=n_users, n_items=n_items, n_entities=n_entities,
         n_relations_kg=n_relations_kg,
     )
+
+
+def save_dataset(ds: Dataset, root: str) -> str:
+    """Write a dataset in the reference's on-disk format.
+
+    Produces <root>/<name>/{train,test,kg_final}.txt exactly as the
+    reference repo ships them (SURVEY.md §2.4), so synthetic data can
+    round-trip through the real loaders and users can export/import.
+    """
+    ddir = os.path.join(root, ds.name)
+    os.makedirs(ddir, exist_ok=True)
+
+    def write_ui(path, user_dict):
+        with open(path, "w") as f:
+            for u in sorted(user_dict):
+                items = " ".join(str(i) for i in user_dict[u])
+                f.write(f"{u} {items}\n")
+
+    write_ui(os.path.join(ddir, "train.txt"), ds.train_user_dict)
+    write_ui(os.path.join(ddir, "test.txt"), ds.test_user_dict)
+    with open(os.path.join(ddir, "kg_final.txt"), "w") as f:
+        for h, r, t in ds.kg_triples:
+            f.write(f"{h} {r} {t}\n")
+    return ddir

@@ -45,6 +45,44 @@ def load_any_dataset(cfg: TrainConfig) -> Dataset:
     return load_dataset(cfg.data_root, cfg.dataset)
 
 
+def _chunked_epoch(scan_fn, n_batches: int, chunk: int, with_att: bool):
+    """Wrap a scan-of-steps into bounded-size jitted device calls.
+
+    Returns epoch(params, opt_state[, att], rng) -> (params, opt_state,
+    mean_loss) running exactly n_batches steps as ceil-division chunks.
+    """
+    sizes = [chunk] * (n_batches // chunk)
+    if n_batches % chunk:
+        sizes.append(n_batches % chunk)
+
+    jitted = {}
+    for size in set(sizes):
+        if with_att:
+            jitted[size] = jax.jit(
+                lambda p, o, a, k, f=scan_fn: f(p, o, a, k),
+                donate_argnums=(0, 1))
+        else:
+            jitted[size] = jax.jit(
+                lambda p, o, k, f=scan_fn: f(p, o, k),
+                donate_argnums=(0, 1))
+
+    def epoch(params, opt_state, *args):
+        *maybe_att, rng = args
+        total = 0.0
+        for i, size in enumerate(sizes):
+            rng, sub = jax.random.split(rng)
+            keys = jax.random.split(sub, size)
+            if with_att:
+                params, opt_state, s = jitted[size](params, opt_state,
+                                                    maybe_att[0], keys)
+            else:
+                params, opt_state, s = jitted[size](params, opt_state, keys)
+            total += float(s)
+        return params, opt_state, total / n_batches
+
+    return epoch
+
+
 class Trainer:
     def __init__(self, cfg: TrainConfig, dataset: Optional[Dataset] = None):
         self.cfg = cfg
@@ -111,8 +149,11 @@ class Trainer:
         def kg_loss_fn(params, h, r, tp, tn, w):
             return kgat.kg_loss(params, h, r, tp, tn, mcfg, weight=w)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def cf_epoch(params, opt_state, att, rng):
+        # Epochs run as scans of device-side-sampled steps, but bounded to
+        # CF_SCAN/KG_SCAN iterations per device call: one multi-minute XLA
+        # execution trips worker/relay watchdogs (observed at Amazon-book
+        # scale), and bounded calls also keep the host responsive.
+        def cf_scan(params, opt_state, att, keys):
             def step(carry, key):
                 params, opt_state = carry
                 k_samp, k_drop = jax.random.split(key)
@@ -124,13 +165,11 @@ class Trainer:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
 
-            keys = jax.random.split(rng, self.n_cf_batches)
             (params, opt_state), losses = jax.lax.scan(
                 step, (params, opt_state), keys)
-            return params, opt_state, jnp.mean(losses)
+            return params, opt_state, jnp.sum(losses)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def kg_epoch(params, opt_state, rng):
+        def kg_scan(params, opt_state, keys):
             def step(carry, key):
                 params, opt_state = carry
                 h, r, tp, tn, w = sample_kg_batch(
@@ -141,10 +180,14 @@ class Trainer:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
 
-            keys = jax.random.split(rng, self.n_kg_batches)
             (params, opt_state), losses = jax.lax.scan(
                 step, (params, opt_state), keys)
-            return params, opt_state, jnp.mean(losses)
+            return params, opt_state, jnp.sum(losses)
+
+        cf_epoch = _chunked_epoch(cf_scan, self.n_cf_batches,
+                                  chunk=64, with_att=True)
+        kg_epoch = _chunked_epoch(kg_scan, self.n_kg_batches,
+                                  chunk=512, with_att=False)
 
         @jax.jit
         def attention(params):

@@ -35,3 +35,18 @@ def test_sort_and_csr_match_numpy(rng):
     offs = native.csr_offsets(keys[perm], 777)
     np.testing.assert_array_equal(
         offs, np.searchsorted(keys[perm], np.arange(778)))
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    from kgat_tpu.data import load_dataset, save_dataset, synthetic_dataset
+    ds = synthetic_dataset(seed=4, n_users=60, n_items=50, n_entities=90,
+                           n_relations_kg=4, n_interactions=600,
+                           n_triples=400)
+    save_dataset(ds, str(tmp_path))
+    ds2 = load_dataset(str(tmp_path), "synthetic")
+    assert (ds2.n_users, ds2.n_items) == (ds.n_users, ds.n_items)
+    tr1 = {u: set(v.tolist()) for u, v in ds.train_user_dict.items()}
+    tr2 = {u: set(v.tolist()) for u, v in ds2.train_user_dict.items()}
+    assert tr1 == tr2
+    np.testing.assert_array_equal(np.sort(ds2.kg_triples, axis=0),
+                                  np.sort(ds.kg_triples, axis=0))
