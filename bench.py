@@ -183,7 +183,7 @@ def roofline(graph, meta, res: dict):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="yelp2018", choices=sorted(PRESETS))
-    p.add_argument("--backend", default="ref", choices=["ref", "pallas"])
+    p.add_argument("--backend", default="pallas", choices=["ref", "pallas"])
     p.add_argument("--compare", action="store_true",
                    help="also run the ref path and report speedup")
     p.add_argument("--roofline", action="store_true",
@@ -202,7 +202,15 @@ def main(argv=None):
           file=sys.stderr)
 
     res = bench_backend(graph, meta, a.backend, a.batch, a.iters)
+    # Without --compare, report against the recorded XLA ref-path
+    # measurement for this preset (v5e 1 chip, 2026-08-17; BASELINE.md) so
+    # the default run still carries a meaningful ratio at bounded runtime.
+    RECORDED_REF_CF_STEP_S = {"yelp2018": 0.5065}
     vs = 1.0
+    if (a.backend == "pallas"
+            and a.preset in RECORDED_REF_CF_STEP_S and not a.compare):
+        ref_rate = 3 * graph.n_edges / RECORDED_REF_CF_STEP_S[a.preset]
+        vs = res["cf_step_edges_per_s"] / ref_rate
     ref_fields = {}
     if a.compare and a.backend != "ref":
         ref = bench_backend(graph, meta, "ref", a.batch, a.iters)
