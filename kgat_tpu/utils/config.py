@@ -111,13 +111,19 @@ def parse_args(argv=None) -> TrainConfig:
                    help="npz with user_embed/item_embed (BPR-MF init)")
     p.add_argument("--profile-epochs", type=int, default=None,
                    help="capture a jax.profiler trace of the first N epochs")
+    for f in ("users", "items", "entities", "relations", "interactions",
+              "triples"):
+        p.add_argument(f"--syn-{f}", type=int, default=None,
+                       help=f"synthetic dataset: number of {f}")
     a = p.parse_args(argv)
 
     cfg = TrainConfig(**PRESETS[a.preset]) if a.preset else TrainConfig()
     for field in ("dataset", "data_root", "lr", "cf_batch_size",
                   "kg_batch_size", "epochs", "eval_every", "stopping_steps",
                   "k", "seed", "sampler", "log_dir", "run_name", "n_devices",
-                  "pretrain_path", "profile_epochs"):
+                  "pretrain_path", "profile_epochs", "syn_users",
+                  "syn_items", "syn_entities", "syn_relations",
+                  "syn_interactions", "syn_triples"):
         v = getattr(a, field)
         if v is not None:
             setattr(cfg, field, v)
