@@ -56,12 +56,13 @@ def prepare_weights(graph: Graph, edge_w: jax.Array) -> EdgeWeights:
                        rev=wm[graph.rev_layout.gather])
 
 
-def _layout_reduce(layout, w_aligned, x, n_nodes):
+def _layout_reduce(layout, w_aligned, x, n_nodes,
+                   precision=jax.lax.Precision.HIGHEST):
     """One direction of SpMM: gather features straight into the aligned
     order (no separate permutation pass) and reduce with the Pallas kernel.
     Dead positions carry w == 0 (they gather the masked pad slot)."""
     vals = x[layout.node] * w_aligned[:, None]
-    return segment_sum_aligned(vals, layout, n_nodes)
+    return segment_sum_aligned(vals, layout, n_nodes, precision=precision)
 
 
 @jax.custom_vjp
@@ -83,7 +84,10 @@ def _spmm_bwd(res, g):
     d_w_fwd = jnp.sum(x[fwd_layout.node] * g[fwd_layout.seg], axis=-1)
     # dL/dx[u] = sum over edges with src == u of w_e * g[dst_e] — the
     # segment-sum dual on the reverse graph; rev_layout.node is dst there.
-    d_x = _layout_reduce(rev_layout, w_rev, g, n)
+    # DEFAULT (bf16-pass) precision: gradients tolerate ~1e-3 noise and it
+    # saves ~11% of the reduce (activations keep HIGHEST for parity).
+    d_x = _layout_reduce(rev_layout, w_rev, g, n,
+                         precision=jax.lax.Precision.DEFAULT)
     return (d_w_fwd, None, d_x, None, None)
 
 
