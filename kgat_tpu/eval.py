@@ -45,21 +45,30 @@ def make_eval_plan(train_user_dict: Dict[int, np.ndarray],
     ub.flat[: len(test_users)] = test_users
 
     def pack(user_dict):
-        per_block = []
-        for b in range(n_blocks):
-            rows = []
-            for j in range(block):
-                u = ub[b, j]
-                if u < 0:
-                    continue
-                for it in user_dict.get(int(u), ()):
-                    rows.append((j, int(it)))
-            per_block.append(rows)
-        max_rows = max(1, max(len(r) for r in per_block))
+        # Vectorized: one numpy pass over all (user, item) pairs instead of
+        # a Python loop per pair (~1M pairs at amazon-book scale).
+        empty = np.full((n_blocks, 1, 2), [block, 0], np.int32)
+        keys = np.asarray(sorted(user_dict), dtype=np.int64)
+        if keys.size == 0 or test_users.size == 0:
+            return empty
+        lists = [np.asarray(user_dict[int(u)]).ravel() for u in keys]
+        counts = np.asarray([x.size for x in lists], np.int64)
+        pos = np.searchsorted(test_users, keys)
+        posc = np.minimum(pos, test_users.size - 1)
+        valid = (pos < test_users.size) & (test_users[posc] == keys)
+        if not valid.any():
+            return empty
+        items = np.concatenate([x for x, v in zip(lists, valid) if v])
+        u_pos = np.repeat(pos[valid], counts[valid])  # nondecreasing
+        b = u_pos // block
+        j = u_pos % block
+        blk_counts = np.bincount(b, minlength=n_blocks)
+        blk_start = np.concatenate([[0], np.cumsum(blk_counts)[:-1]])
+        off = np.arange(u_pos.size) - blk_start[b]
+        max_rows = max(1, int(blk_counts.max()))
         out = np.full((n_blocks, max_rows, 2), [block, 0], np.int32)
-        for b, rows in enumerate(per_block):
-            if rows:
-                out[b, : len(rows)] = rows
+        out[b, off, 0] = j
+        out[b, off, 1] = items
         return out
 
     return EvalPlan(user_blocks=ub, train_pairs=pack(train_user_dict),

@@ -6,10 +6,13 @@ SpMM backward w.r.t. features is a segment-sum on the REVERSE graph
 an SDDMM (per-edge row dot). Both directions run the same Pallas
 segment-sum kernel.
 
-segment_softmax currently reuses the XLA reference implementation: the
-softmax operates on per-edge scalars (~4 bytes/edge vs ~256 bytes/edge for
-SpMM), so it is ~2% of the attention pass; a fused Pallas segment-softmax
-is tracked as a follow-up optimization.
+Attention runs entirely in aligned layouts: the relation-blocked Pallas
+SDDMM (kernels/sddmm.py) produces logits, one scatter routes them into the
+forward-aligned order, and the fused Pallas segment softmax
+(kernels/softmax.py) normalizes there — see :func:`attention_prepared`.
+The module-level ``segment_softmax`` export below is the canonical-order
+*parity API* (used by tests and the ref-path comparison); the hot path
+never goes through canonical order.
 """
 
 from __future__ import annotations
@@ -28,6 +31,32 @@ segment_softmax = _ref.segment_softmax
 sddmm_dot = _ref.sddmm_dot
 segment_sum = _ref.segment_sum
 segment_max = _ref.segment_max
+segment_min = _ref.segment_min
+segment_mean = _ref.segment_mean
+
+
+def gspmm(graph: Graph, msg: str, reduce: str, x=None, edge_w=None):
+    """Generalized g-SpMM (DGL update_all surface) on the pallas backend.
+
+    The weighted-sum/mean cases with scalar edge weights — the
+    bandwidth-bound ones — run the block-aligned Pallas reduce; mean
+    divides the kernel's sum by the real in-degree (DGL semantics).
+    Min/max and feature-valued edge data take the XLA path (comparison
+    reduces don't map onto the one-hot-matmul MXU kernel; they are not on
+    any hot path).
+    """
+    if (msg == "u_mul_e" and reduce in ("sum", "mean")
+            and edge_w is not None and edge_w.ndim == 1):
+        s = spmm(graph, edge_w, x)
+        if reduce == "sum":
+            return s
+        deg = _ref.segment_sum(graph, graph.edge_mask)
+        deg = jnp.maximum(deg, 1.0)
+        return s / deg[:, None]
+    if msg == "copy_u" and reduce in ("sum", "mean"):
+        ones = jnp.ones((graph.n_edges_pad,), x.dtype)
+        return gspmm(graph, "u_mul_e", reduce, x, ones)
+    return _ref.gspmm(graph, msg, reduce, x, edge_w)
 
 
 import dataclasses

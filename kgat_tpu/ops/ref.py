@@ -41,6 +41,30 @@ def segment_max(graph: Graph, edge_vals: jax.Array) -> jax.Array:
     return out[: graph.n_nodes]
 
 
+def segment_min(graph: Graph, edge_vals: jax.Array) -> jax.Array:
+    """Min of edge values per dst segment (+inf for empty segments)."""
+    out = jax.ops.segment_min(
+        edge_vals, graph.dst, num_segments=graph.num_segments,
+        indices_are_sorted=True,
+    )
+    return out[: graph.n_nodes]
+
+
+def segment_mean(graph: Graph, edge_vals: jax.Array) -> jax.Array:
+    """Mean of edge values per dst segment (0 for empty segments).
+
+    DGL segment-reduce 'mean' semantics: sum / in-degree, counting only
+    real (non-pad) edges.
+    """
+    s = segment_sum(graph, edge_vals)
+    deg = jax.ops.segment_sum(
+        graph.edge_mask, graph.dst, num_segments=graph.num_segments,
+        indices_are_sorted=True,
+    )[: graph.n_nodes]
+    deg = jnp.maximum(deg, 1.0)
+    return s / deg.reshape((-1,) + (1,) * (edge_vals.ndim - 1))
+
+
 def spmm(graph: Graph, edge_w: jax.Array, x: jax.Array) -> jax.Array:
     """out[v] = sum over edges (u -> v) of edge_w[e] * x[u].
 
@@ -51,6 +75,47 @@ def spmm(graph: Graph, edge_w: jax.Array, x: jax.Array) -> jax.Array:
     w = edge_w * graph.edge_mask
     msgs = x[graph.src] * w[:, None]
     return segment_sum(graph, msgs)
+
+
+MSG_OPS = ("copy_u", "copy_e", "u_mul_e", "u_add_e")
+REDUCE_OPS = ("sum", "max", "min", "mean")
+
+
+def gspmm(graph: Graph, msg: str, reduce: str, x=None, edge_w=None
+          ) -> jax.Array:
+    """Generalized g-SpMM: DGL's `update_all(fn.<msg>, fn.<reduce>)` surface
+    (SURVEY.md §2.2 g-SpMM row; DGL python/dgl/ops/spmm.py, reconstructed).
+
+    msg in {copy_u, copy_e, u_mul_e, u_add_e}; reduce in
+    {sum, max, min, mean}. x: (n_nodes, d) node features (required unless
+    msg == copy_e); edge_w: (E_pad,) or (E_pad, d) edge data (required
+    unless msg == copy_u). Returns (n_nodes, d) (or (n_nodes,) for scalar
+    messages). Pad edges never contribute.
+    """
+    if msg not in MSG_OPS:
+        raise ValueError(f"msg {msg!r} not in {MSG_OPS}")
+    if reduce not in REDUCE_OPS:
+        raise ValueError(f"reduce {reduce!r} not in {REDUCE_OPS}")
+    if msg == "copy_u":
+        m = x[graph.src]
+    elif msg == "copy_e":
+        m = edge_w
+    else:
+        u = x[graph.src]
+        w = edge_w if edge_w.ndim == u.ndim else edge_w[:, None]
+        m = u * w if msg == "u_mul_e" else u + w
+    if reduce in ("sum", "mean"):
+        # zero masked edges so pad slots can't poison sums
+        mask = graph.edge_mask.reshape((-1,) + (1,) * (m.ndim - 1))
+        m = m * mask
+        return segment_sum(graph, m) if reduce == "sum" \
+            else segment_mean(graph, m)
+    fill = jnp.finfo(m.dtype).min if reduce == "max" \
+        else jnp.finfo(m.dtype).max
+    mask = (graph.edge_mask > 0).reshape((-1,) + (1,) * (m.ndim - 1))
+    m = jnp.where(mask, m, fill)
+    return segment_max(graph, m) if reduce == "max" \
+        else segment_min(graph, m)
 
 
 def sddmm_dot(graph: Graph, a: jax.Array, b: jax.Array) -> jax.Array:

@@ -64,6 +64,35 @@ def pair_member(sorted_a: jax.Array, sorted_b: jax.Array,
     return (lb < n) & (sorted_a[lbc] == qa) & (sorted_b[lbc] == qb)
 
 
+def triple_member(sorted_a: jax.Array, sorted_b: jax.Array,
+                  sorted_c: jax.Array, qa: jax.Array, qb: jax.Array,
+                  qc: jax.Array) -> jax.Array:
+    """True where (qa, qb, qc) is present in the lex-sorted triple table.
+
+    Three separate int32 keys instead of a packed key: h*R+r overflows
+    int32 once n_entities * n_relations >= 2^31 (~10x the reference
+    datasets), and device int64 requires the global x64 flag.
+    """
+    n = sorted_a.shape[0]
+    steps = max(1, int(np.ceil(np.log2(n + 1))))
+    lo = jnp.zeros(qa.shape, jnp.int32)
+    hi = jnp.full(qa.shape, n, jnp.int32)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        midc = jnp.minimum(mid, n - 1)
+        a, b, c = sorted_a[midc], sorted_b[midc], sorted_c[midc]
+        less = ((a < qa) | ((a == qa) & (b < qb))
+                | ((a == qa) & (b == qb) & (c < qc)))
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    lbc = jnp.minimum(lo, n - 1)
+    return ((lo < n) & (sorted_a[lbc] == qa) & (sorted_b[lbc] == qb)
+            & (sorted_c[lbc] == qc))
+
+
 # ---------------------------------------------------------------------------
 # Device-side CF sampler.
 # ---------------------------------------------------------------------------
@@ -135,17 +164,18 @@ def sample_cf_batch(table: CFSampleTable, rng: jax.Array, batch_size: int
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class KGSampleTable:
-    """Device-resident KG triples (with inverses), sorted by ((h, r), t).
+    """Device-resident KG triples (with inverses), lex-sorted by (h, r, t).
 
-    hr = h * n_relations + r packed into int32 (h < 2^18, r < 2^9 on all
-    reference datasets; the builder checks).
+    Three separate int32 key arrays (no packed h*R+r key): safe for graphs
+    up to 2^31 entities regardless of relation count.
     """
 
     h: jax.Array         # (n_kg,) int32, in *sampling* order (original)
     r: jax.Array
     t: jax.Array
-    hr_sorted: jax.Array  # (n_kg,) int32 packed key, sorted
-    t_sorted: jax.Array   # (n_kg,) int32 companion
+    h_sorted: jax.Array   # (n_kg,) int32, lex-sorted by (h, r, t)
+    r_sorted: jax.Array
+    t_sorted: jax.Array
     n_entities: int = dataclasses.field(metadata=dict(static=True))
     n_relations: int = dataclasses.field(metadata=dict(static=True))
     max_tries: int = dataclasses.field(default=16, metadata=dict(static=True))
@@ -154,16 +184,15 @@ class KGSampleTable:
     def build(triples: np.ndarray, n_entities: int, n_relations: int,
               max_tries: int = 16) -> "KGSampleTable":
         tr = np.asarray(triples, dtype=np.int64)
-        if n_entities * n_relations >= 2 ** 31:
-            raise ValueError("h*R+r key overflows int32; widen the key")
-        hr = tr[:, 0] * n_relations + tr[:, 1]
-        order = np.lexsort((tr[:, 2], hr))
+        order = np.lexsort((tr[:, 2], tr[:, 1], tr[:, 0]))
+        srt = tr[order]
         return KGSampleTable(
             h=jnp.asarray(tr[:, 0], jnp.int32),
             r=jnp.asarray(tr[:, 1], jnp.int32),
             t=jnp.asarray(tr[:, 2], jnp.int32),
-            hr_sorted=jnp.asarray(hr[order], jnp.int32),
-            t_sorted=jnp.asarray(tr[order, 2], jnp.int32),
+            h_sorted=jnp.asarray(srt[:, 0], jnp.int32),
+            r_sorted=jnp.asarray(srt[:, 1], jnp.int32),
+            t_sorted=jnp.asarray(srt[:, 2], jnp.int32),
             n_entities=int(n_entities),
             n_relations=int(n_relations),
             max_tries=int(max_tries),
@@ -176,12 +205,12 @@ def sample_kg_batch(table: KGSampleTable, rng: jax.Array, batch_size: int
     r_idx, r_neg = jax.random.split(rng)
     idx = jax.random.randint(r_idx, (batch_size,), 0, table.h.shape[0])
     h, r, t_pos = table.h[idx], table.r[idx], table.t[idx]
-    hr = h * table.n_relations + r
 
     def try_neg(state, key):
         cand, ok = state
         draw = jax.random.randint(key, (batch_size,), 0, table.n_entities)
-        exists = pair_member(table.hr_sorted, table.t_sorted, hr, draw)
+        exists = triple_member(table.h_sorted, table.r_sorted,
+                               table.t_sorted, h, r, draw)
         accept = (~ok) & (~exists)
         return (jnp.where(accept, draw, cand), ok | accept), None
 

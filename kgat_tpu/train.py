@@ -88,7 +88,7 @@ class Trainer:
         self.cfg = cfg
         self.ds = dataset if dataset is not None else load_any_dataset(cfg)
         self.graph, self.meta = self.ds.build()
-        self.logger = RunLogger(cfg.log_dir, cfg.run_name)
+        self.logger = RunLogger(cfg.log_dir, cfg.run_name, resume=cfg.resume)
         n_dev = len(jax.devices()) if cfg.n_devices == 0 else cfg.n_devices
         self.n_devices = n_dev
         self.partitioned = n_dev > 1
@@ -109,8 +109,10 @@ class Trainer:
             self.ds.train_user_dict, self.ds.test_user_dict,
             self.meta.n_items, block=cfg.test_block)
 
-        self.n_cf_batches = max(1, self.ds.n_cf_train // cfg.cf_batch_size)
-        self.n_kg_batches = max(1, g.n_edges // cfg.kg_batch_size)
+        # Reference batch counts: n_train // batch_size + 1 (ceil-ish, so
+        # every epoch covers at least the full training set in expectation).
+        self.n_cf_batches = self.ds.n_cf_train // cfg.cf_batch_size + 1
+        self.n_kg_batches = g.n_edges // cfg.kg_batch_size + 1
 
         self.rng = jax.random.key(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
@@ -342,20 +344,33 @@ class Trainer:
                         aggregator=cfg.model.aggregator,
                         backend=cfg.model.ops_backend,
                         sampler=cfg.sampler)
-        final = {}
-        profiling = False
+        self._profiling = False
         if cfg.profile_epochs > 0 and cfg.log_dir:
             # SURVEY.md §5 tracing: perfetto-compatible device trace.
             jax.profiler.start_trace(f"{cfg.log_dir}/trace_{cfg.run_name}")
-            profiling = True
+            self._profiling = True
+        try:
+            final = self._train_loop()
+        finally:
+            # early stop / short runs must still terminate an open trace
+            if self._profiling:
+                jax.profiler.stop_trace()
+                self._profiling = False
+        self.logger.log("done", best_recall=self.best_metric)
+        return final
+
+    def _train_loop(self) -> dict:
+        cfg = self.cfg
+        g = self.graph
+        final = {}
         while self.epoch < cfg.epochs:
             self.epoch += 1
             t0 = time.time()
             cf_l, kg_l = self.train_one_epoch()
             dt = time.time() - t0
-            if profiling and self.epoch >= cfg.profile_epochs:
+            if self._profiling and self.epoch >= cfg.profile_epochs:
                 jax.profiler.stop_trace()
-                profiling = False
+                self._profiling = False
                 self.logger.log("profile_saved",
                                 dir=f"{cfg.log_dir}/trace_{cfg.run_name}")
             # Propagation touches every edge per layer, fwd+bwd, per batch.
@@ -382,7 +397,6 @@ class Trainer:
                         self.logger.log("early_stop", epoch=self.epoch,
                                         best=self.best_metric)
                         break
-        self.logger.log("done", best_recall=self.best_metric)
         return final
 
 

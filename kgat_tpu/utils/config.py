@@ -148,4 +148,8 @@ def parse_args(argv=None) -> TrainConfig:
             base = m.get("conv_dims", cfg.model.conv_dims)
             m.setdefault("mess_dropout", tuple(0.1 for _ in base))
         cfg.model = dataclasses.replace(cfg.model, **m)
+    if len(cfg.model.conv_dims) != len(cfg.model.mess_dropout):
+        p.error(f"--conv-dims has {len(cfg.model.conv_dims)} layers but "
+                f"--mess-dropout has {len(cfg.model.mess_dropout)} rates; "
+                "they must match")
     return cfg

@@ -17,16 +17,18 @@ from typing import Any, Dict, Optional
 
 class RunLogger:
     def __init__(self, log_dir: Optional[str] = None, run_name: str = "run",
-                 quiet: bool = False):
+                 quiet: bool = False, resume: bool = False):
         self.t0 = time.time()
         self.quiet = quiet
         self.path = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self.path = os.path.join(log_dir, f"{run_name}.jsonl")
-            # truncate
-            with open(self.path, "w"):
-                pass
+            if not resume:
+                # fresh run: truncate; --resume appends so the event log
+                # stays contiguous across sessions.
+                with open(self.path, "w"):
+                    pass
 
     def log(self, event: str, **fields: Any) -> Dict[str, Any]:
         rec = {"event": event, "t": round(time.time() - self.t0, 3), **fields}

@@ -89,6 +89,70 @@ def test_segment_softmax_handwritten_orientation():
     np.testing.assert_allclose(out[3], 1.0, rtol=1e-6)
 
 
+@pytest.mark.parametrize("msg", ["copy_u", "copy_e", "u_mul_e", "u_add_e"])
+@pytest.mark.parametrize("reduce", ["sum", "max", "min", "mean"])
+@pytest.mark.parametrize("backend", ["ref", "pallas"])
+def test_gspmm_matches_oracle(rng, msg, reduce, backend):
+    """DGL update_all(fn.<msg>, fn.<reduce>) surface vs a dense loop oracle
+    (SURVEY.md §2.2 g-SpMM + segment-reduce rows)."""
+    from kgat_tpu.ops import get_backend
+    be = get_backend(backend)
+    g = _random_graph(rng)
+    d = 8
+    x = rng.normal(size=(g.n_nodes, d)).astype(np.float32)
+    w = rng.normal(size=g.n_edges_pad).astype(np.float32)
+    if msg in ("copy_e", "u_add_e"):
+        wv = rng.normal(size=(g.n_edges_pad, d)).astype(np.float32)
+    else:
+        wv = w
+    if backend == "pallas":
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(be.gspmm(g, msg, reduce, jnp.asarray(x),
+                                      jnp.asarray(wv)))
+    else:
+        out = np.asarray(be.gspmm(g, msg, reduce, jnp.asarray(x),
+                                  jnp.asarray(wv)))
+    src, dst = np.asarray(g.src), np.asarray(g.dst)
+    want = np.zeros((g.n_nodes, d) if out.ndim == 2 else (g.n_nodes,),
+                    np.float32)
+    for v in range(g.n_nodes):
+        sel = np.where(dst[: g.n_edges] == v)[0]
+        if len(sel) == 0:
+            if reduce == "max":
+                want[v] = np.finfo(np.float32).min
+            elif reduce == "min":
+                want[v] = np.finfo(np.float32).max
+            continue
+        if msg == "copy_u":
+            m = x[src[sel]]
+        elif msg == "copy_e":
+            m = wv[sel]
+        elif msg == "u_mul_e":
+            m = x[src[sel]] * wv[sel][:, None]
+        else:
+            m = x[src[sel]] + wv[sel]
+        rfn = {"sum": np.sum, "max": np.max, "min": np.min,
+               "mean": np.mean}[reduce]
+        want[v] = rfn(m, axis=0)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_min_mean(rng, tiny_graph):
+    g, _ = tiny_graph
+    v = jnp.asarray(rng.normal(size=(g.n_edges_pad, 4)).astype(np.float32))
+    s = np.asarray(ops.segment_sum(g, v))
+    mean = np.asarray(ops.segment_mean(g, v))
+    deg = np.zeros(g.n_nodes)
+    np.add.at(deg, np.asarray(g.dst)[: g.n_edges], 1.0)
+    np.testing.assert_allclose(
+        mean, s / np.maximum(deg, 1.0)[:, None], rtol=1e-5, atol=1e-6)
+    mn = np.asarray(ops.segment_min(
+        g, jnp.where(jnp.asarray(g.edge_mask)[:, None] > 0, v,
+                     jnp.finfo(jnp.float32).max)))
+    assert mn.shape == (g.n_nodes, 4)
+
+
 def test_sddmm_dot(rng):
     g = _random_graph(rng)
     a = rng.normal(size=(g.n_nodes, 8)).astype(np.float32)
