@@ -120,10 +120,36 @@ class Graph:
         return self.n_nodes + 1
 
 
+def host_array(obj, field: str) -> np.ndarray:
+    """Host-side numpy view of a Graph/AlignedLayout device field.
+
+    The builders cache the numpy originals on the instance (``_host``):
+    device->host readback through a TPU relay can be pathologically slow
+    (measured ~0.1 MB/s on the axon tunnel: one 21 MB ``np.asarray(g.dst)``
+    cost ~4 minutes, 460 s per graph build), so host consumers — samplers,
+    the partitioner, exporters — must never read device arrays back.
+    Falls back to D2H for instances reconstructed by pytree transforms.
+    """
+    cache = getattr(obj, "_host", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(obj, "_host", cache)
+    if field not in cache:
+        cache[field] = np.asarray(getattr(obj, field))
+    return cache[field]
+
+
+def host_coo(g: "Graph") -> dict:
+    """Host numpy {src, dst, etype} over the REAL (unpadded) edges."""
+    return {k: host_array(g, k)[: g.n_edges] for k in ("src", "dst", "etype")}
+
+
 # Aligned-layout constants: 128-row output blocks, 1024-edge chunks. Every
 # block's edge run is padded to a chunk multiple so a Pallas kernel can walk
 # a flat static chunk grid with BlockSpec-pipelined inputs (auto
 # double-buffered by Mosaic) and revisit one output block per chunk run.
+# The chunk size is a per-layout static field; 2048 was measured at equal
+# per-edge kernel cost but +18% padding at reference scale, so 1024 stays.
 ALIGN_BLOCK_ROWS = 128
 ALIGN_CHUNK_EDGES = 1024
 
@@ -147,23 +173,35 @@ class AlignedLayout:
     chunk_block: jax.Array  # (n_chunks,) int32 block id per chunk
     n_chunks: int = dataclasses.field(metadata=dict(static=True))
     n_blocks: int = dataclasses.field(metadata=dict(static=True))
+    chunk_edges: int = dataclasses.field(default=ALIGN_CHUNK_EDGES,
+                                         metadata=dict(static=True))
 
 
 def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
                           n_nodes: int, dead_slot: int,
                           order: np.ndarray | None = None,
-                          force_chunks: int | None = None) -> AlignedLayout:
+                          force_chunks: int | None = None,
+                          chunk_edges: int = ALIGN_CHUNK_EDGES,
+                          sort_within_seg: bool = True) -> AlignedLayout:
     """Host-side construction of an :class:`AlignedLayout`.
 
     seg/other: (n_edges,) segment id / other-endpoint per canonical edge;
     order: canonical edge ids sorted by seg (computed if None);
     force_chunks: pad the chunk count to this total (SPMD shards of a
-    partitioned graph must share shapes — trailing chunks are dead).
+    partitioned graph must share shapes — trailing chunks are dead);
+    sort_within_seg: additionally sort each segment's run by the other
+    endpoint — the feature gather then touches ascending rows within each
+    run (measured ~20% faster random row gathers on v5e).
     """
-    B, ALIGN = ALIGN_BLOCK_ROWS, ALIGN_CHUNK_EDGES
+    B, ALIGN = ALIGN_BLOCK_ROWS, chunk_edges
     n_edges = len(seg)
     if order is None:
         order = _stable_sort_perm(seg, n_nodes)
+    if sort_within_seg and n_edges:
+        # Stable two-key sort (seg, other): sort the seg-sorted order by
+        # 'other' first, then re-sort by seg stably.
+        by_other = order[np.argsort(other[order], kind="stable")]
+        order = by_other[_stable_sort_perm(seg[by_other], n_nodes)]
     seg_sorted = seg[order]
     ro = np.searchsorted(seg_sorted, np.arange(n_nodes + 1)).astype(np.int64)
 
@@ -220,15 +258,21 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
         node = np.zeros(len(gather), np.int32)
         seg_al = np.zeros(len(gather), np.int32)
 
-    return AlignedLayout(
-        gather=jnp.asarray(gather.astype(np.int32)),
+    gather32 = gather.astype(np.int32)
+    layout = AlignedLayout(
+        gather=jnp.asarray(gather32),
         node=jnp.asarray(node),
         seg=jnp.asarray(seg_al),
         bounds=jnp.asarray(bounds),
         chunk_block=jnp.asarray(chunk_block),
         n_chunks=int(len(chunk_block)),
         n_blocks=int(n_blocks),
+        chunk_edges=int(ALIGN),
     )
+    # Host mirrors (see host_array: D2H readback is pathological here).
+    object.__setattr__(layout, "_host",
+                       {"gather": gather32, "node": node, "seg": seg_al})
+    return layout
 
 
 def build_graph(
@@ -240,6 +284,7 @@ def build_graph(
     *,
     edge_block: int = 2048,
     rel_block: int = 1024,
+    chunk_edges: int = ALIGN_CHUNK_EDGES,
     force_edge_pad: int | None = None,
     force_rel_pad: "dict[int, int] | None" = None,
     force_fwd_chunks: int | None = None,
@@ -275,6 +320,7 @@ def build_graph(
     # Pallas segment kernels stream edges in fixed-size chunks and their
     # final chunk may read up to edge_block-1 slots past the last real edge.
     # (Also guarantees >= 1 dead slot for the attention layout to point at.)
+    edge_block = max(edge_block, chunk_edges)
     n_pad = max(_round_up(n_edges + edge_block, edge_block), edge_block)
     if force_edge_pad is not None:
         if force_edge_pad < n_edges + 1:
@@ -296,9 +342,10 @@ def build_graph(
     dead = n_edges  # first canonical pad slot (mask 0)
     fwd_layout = _build_aligned_layout(
         dst, src, n_nodes, dead, order=np.arange(n_edges, dtype=np.int64),
-        force_chunks=force_fwd_chunks)
+        force_chunks=force_fwd_chunks, chunk_edges=chunk_edges)
     rev_layout = _build_aligned_layout(src, dst, n_nodes, dead,
-                                       force_chunks=force_rev_chunks)
+                                       force_chunks=force_rev_chunks,
+                                       chunk_edges=chunk_edges)
 
     # Relation-blocked attention layout: stable argsort by etype over the
     # canonical order, then pad each relation block to rel_block with the
@@ -333,10 +380,10 @@ def build_graph(
     )
 
     att_to_fwd, rev_from_fwd = cross_layout_perms(
-        att_gather, np.asarray(fwd_layout.gather),
-        np.asarray(rev_layout.gather), n_edges, n_pad)
+        att_gather, host_array(fwd_layout, "gather"),
+        host_array(rev_layout, "gather"), n_edges, n_pad)
 
-    return Graph(
+    g = Graph(
         src=jnp.asarray(src_p),
         dst=jnp.asarray(dst_p),
         etype=jnp.asarray(ety_p),
@@ -353,6 +400,11 @@ def build_graph(
         n_relations=int(n_relations),
         rel_blocks=tuple(rel_blocks),
     )
+    object.__setattr__(g, "_host", {
+        "src": src_p, "dst": dst_p, "etype": ety_p, "edge_mask": mask,
+        "att_gather": att_gather, "row_offsets": row_offsets,
+    })
+    return g
 
 
 @dataclasses.dataclass(frozen=True)

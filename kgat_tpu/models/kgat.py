@@ -48,6 +48,10 @@ class KGATConfig:
     reg_kg: float = 1e-5
     ops_backend: str = "ref"            # ref | pallas
     dtype: Any = jnp.float32
+    # SpMM value-stream dtype on the pallas backend (None = keep f32).
+    # bf16 halves the gather+reduce HBM traffic — the step-time bottleneck;
+    # accumulation stays f32 on the MXU (~1e-3 rel activation noise).
+    compute_dtype: Any = None
 
     @property
     def out_dim(self) -> int:
@@ -163,7 +167,8 @@ def prepare_attention(graph: Graph, att: jax.Array, cfg: KGATConfig):
     """
     if cfg.ops_backend == "pallas":
         from kgat_tpu.ops import pallas_backend
-        return pallas_backend.prepare_weights(graph, att)
+        return pallas_backend.prepare_weights(graph, att,
+                                              dtype=cfg.compute_dtype)
     return att
 
 
@@ -201,10 +206,12 @@ def propagate(params: Params, graph: Graph, edge_att: jax.Array,
     SpMM per layer: e_N(h) = sum_{(h,r,t)} att(h,r,t) * e_t  (edges t -> h).
     """
     ops = get_backend(cfg.ops_backend)
+    low = cfg.compute_dtype if cfg.ops_backend == "pallas" else None
     ego = params["entity_embed"]
     outs = [ego]
     for li, layer in enumerate(params["layers"]):
-        side = ops.spmm(graph, edge_att, ego)
+        x_in = ego if low is None else ego.astype(low)
+        side = ops.spmm(graph, edge_att, x_in)
         if cfg.aggregator == "gcn":
             ego = _leaky((ego + side) @ layer["w"] + layer["b"],
                          cfg.leaky_relu_slope)

@@ -42,7 +42,7 @@ LANE = 128
 
 
 def _kernel(chunk_block_ref, bounds_ref, vals_ref, out_ref,
-            *, pack: int, d: int, precision):
+            *, pack: int, d: int, chunk: int, precision):
     k = pl.program_id(0)
     blk = chunk_block_ref[k]
     first = jnp.logical_or(
@@ -51,8 +51,8 @@ def _kernel(chunk_block_ref, bounds_ref, vals_ref, out_ref,
     bounds = bounds_ref[0]                 # (B, 8) lane-minor
     lo = bounds[:, 0:1]                    # (B, 1)
     hi = bounds[:, 1:2]
-    base = k * ALIGN_CHUNK_EDGES
-    chunk_rows = ALIGN_CHUNK_EDGES // pack
+    base = k * chunk
+    chunk_rows = chunk // pack
     col = jax.lax.broadcasted_iota(
         jnp.int32, (ALIGN_BLOCK_ROWS, chunk_rows), 1)
     vals = vals_ref[:]                     # (chunk_rows, 128)
@@ -60,7 +60,10 @@ def _kernel(chunk_block_ref, bounds_ref, vals_ref, out_ref,
     acc = jnp.zeros_like(out_ref)
     for i in range(pack):                  # static unroll
         e_abs = base + col * pack + i      # (B, R) aligned edge coords
-        onehot = jnp.where((e_abs >= lo) & (e_abs < hi), 1.0, 0.0)
+        # Build the mask in f32 tiling and cast: a bf16-tiled i1 select
+        # trips a Mosaic (8,128)->(16,128) mask relayout error.
+        onehot = jnp.where((e_abs >= lo) & (e_abs < hi),
+                           1.0, 0.0).astype(vals.dtype)
         acc += jax.lax.dot_general(
             onehot, vals[:, i * d:(i + 1) * d],
             (((1,), (0,)), ((), ())),
@@ -80,28 +83,34 @@ def _kernel(chunk_block_ref, bounds_ref, vals_ref, out_ref,
 def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
                         n_segments: int,
                         *, precision=jax.lax.Precision.HIGHEST,
+                        out_dtype=None,
                         interpret: bool = False) -> jax.Array:
     """Sum block-aligned `vals` into their segments. Returns (n_segments, d).
 
     vals: (E_al, d) values already in the layout's aligned edge order (use
     ``x[layout.node] * w[layout.gather][:, None]`` to build them without an
     extra permutation pass); d must divide 128. Dead positions must carry
-    zeros (the gather of a masked pad edge guarantees this).
+    zeros (the gather of a masked pad edge guarantees this). bf16 vals
+    halve the streaming DMA; accumulation is always f32 on the MXU.
 
-    precision: HIGHEST keeps the one-hot matmul reduce f32-exact (the MXU's
-    default f32 path truncates values to bf16: measured 1.5e-3 rel err).
+    precision: HIGHEST keeps the one-hot matmul reduce f32-exact for f32
+    vals (the MXU's default f32 path truncates values to bf16: measured
+    1.5e-3 rel err); irrelevant for bf16 vals (single-pass by nature).
+    out_dtype: output dtype, default f32 (accumulator dtype).
     """
     e_al, d = vals.shape
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
     if d > LANE or LANE % d != 0:
         raise ValueError(f"feature dim {d} must divide {LANE}")
     pack = LANE // d
-    if e_al != layout.n_chunks * ALIGN_CHUNK_EDGES:
+    chunk = layout.chunk_edges
+    if e_al != layout.n_chunks * chunk:
         raise ValueError(f"vals length {e_al} != layout's "
-                         f"{layout.n_chunks} chunks x {ALIGN_CHUNK_EDGES}")
+                         f"{layout.n_chunks} chunks x {chunk}")
     if layout.n_chunks == 0:
-        return jnp.zeros((n_segments, d), vals.dtype)
+        return jnp.zeros((n_segments, d), out_dtype)
     packed = vals.reshape(e_al // pack, LANE)
-    chunk_rows = ALIGN_CHUNK_EDGES // pack
+    chunk_rows = chunk // pack
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -118,15 +127,17 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, pack=pack, d=d, precision=precision),
+        functools.partial(_kernel, pack=pack, d=d, chunk=chunk,
+                          precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (layout.n_blocks * ALIGN_BLOCK_ROWS, d), vals.dtype),
+            (layout.n_blocks * ALIGN_BLOCK_ROWS, d), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * e_al * ALIGN_BLOCK_ROWS * d,
             bytes_accessed=e_al * d * vals.dtype.itemsize
-            + layout.n_blocks * ALIGN_BLOCK_ROWS * d * vals.dtype.itemsize,
+            + layout.n_blocks * ALIGN_BLOCK_ROWS * d
+            * np.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
     )(layout.chunk_block, layout.bounds, packed)

@@ -26,29 +26,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import functools
+
 from kgat_tpu.graph import ALIGN_BLOCK_ROWS as B
-from kgat_tpu.graph import ALIGN_CHUNK_EDGES as CHUNK
 from kgat_tpu.graph import AlignedLayout
 
 LANE = 128
-ROWS = CHUNK // LANE          # packed sublane rows per chunk (8)
 NEG = -3.0e38                 # ~f32 lowest; avoids inf arithmetic
 
 
-def _masks(base, lo, hi):
+def _masks(base, lo, hi, rows):
     """Per-sublane-row membership masks: yields (r, mask(B, LANE))."""
     col = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
-    for r in range(ROWS):
+    for r in range(rows):
         e_abs = base + r * LANE + col
         yield r, (e_abs >= lo) & (e_abs < hi)
 
 
-def _common(chunk_block_ref):
+def _common(chunk_block_ref, chunk):
     k = pl.program_id(0)
     blk = chunk_block_ref[k]
     first = jnp.logical_or(
         k == 0, chunk_block_ref[jnp.maximum(k - 1, 0)] != blk)
-    return k * CHUNK, first
+    return k * chunk, first
 
 
 def _stat8(col):
@@ -56,13 +56,13 @@ def _stat8(col):
     return jnp.broadcast_to(col.reshape(1, B, 1), (1, B, 8))
 
 
-def _max_kernel(cb_ref, bounds_ref, vals_ref, max_ref):
-    base, first = _common(cb_ref)
+def _max_kernel(cb_ref, bounds_ref, vals_ref, max_ref, *, chunk, rows):
+    base, first = _common(cb_ref, chunk)
     bounds = bounds_ref[0]
     lo, hi = bounds[:, 0:1], bounds[:, 1:2]
     v = vals_ref[:]
     m = jnp.full((B, 1), NEG, jnp.float32)
-    for r, mask in _masks(base, lo, hi):
+    for r, mask in _masks(base, lo, hi, rows):
         vr = v[r: r + 1, :]
         m = jnp.maximum(m, jnp.max(jnp.where(mask, vr, NEG), axis=1,
                                    keepdims=True))
@@ -76,15 +76,16 @@ def _max_kernel(cb_ref, bounds_ref, vals_ref, max_ref):
         max_ref[:] = jnp.maximum(max_ref[:], _stat8(m))
 
 
-def _expsum_kernel(cb_ref, bounds_ref, vals_ref, max_ref, exp_ref, den_ref):
-    base, first = _common(cb_ref)
+def _expsum_kernel(cb_ref, bounds_ref, vals_ref, max_ref, exp_ref, den_ref,
+                   *, chunk, rows):
+    base, first = _common(cb_ref, chunk)
     bounds = bounds_ref[0]
     lo, hi = bounds[:, 0:1], bounds[:, 1:2]
     v = vals_ref[:]
     maxb = max_ref[0, :, 0:1]                    # (B, 1) sublane-major
     den = jnp.zeros((B, 1), jnp.float32)
     outs = []
-    for r, mask in _masks(base, lo, hi):
+    for r, mask in _masks(base, lo, hi, rows):
         vr = v[r: r + 1, :]
         # Per-edge row max: rows are disjoint, so a masked cross-sublane
         # sum routes each row's stat to its edges.
@@ -103,14 +104,15 @@ def _expsum_kernel(cb_ref, bounds_ref, vals_ref, max_ref, exp_ref, den_ref):
         den_ref[:] = den_ref[:] + _stat8(den)
 
 
-def _norm_kernel(cb_ref, bounds_ref, exp_ref, den_ref, out_ref):
-    base, _ = _common(cb_ref)
+def _norm_kernel(cb_ref, bounds_ref, exp_ref, den_ref, out_ref,
+                 *, chunk, rows):
+    base, _ = _common(cb_ref, chunk)
     bounds = bounds_ref[0]
     lo, hi = bounds[:, 0:1], bounds[:, 1:2]
     e = exp_ref[:]
     denb = den_ref[0, :, 0:1]                    # (B, 1)
     outs = []
-    for r, mask in _masks(base, lo, hi):
+    for r, mask in _masks(base, lo, hi, rows):
         den_e = jnp.sum(jnp.where(mask, denb, 0.0), axis=0, keepdims=True)
         w = jnp.where(den_e > 0,
                       e[r: r + 1, :] / jnp.maximum(den_e, 1e-38), 0.0)
@@ -126,14 +128,16 @@ def segment_softmax_aligned(logits: jax.Array, layout: AlignedLayout,
     any value (they are outside every [lo, hi) and come back as 0).
     """
     e_al = logits.shape[0]
-    if e_al != layout.n_chunks * CHUNK:
+    chunk = layout.chunk_edges
+    rows = chunk // LANE
+    if e_al != layout.n_chunks * chunk:
         raise ValueError("logits length does not match layout chunks")
     packed = logits.reshape(e_al // LANE, LANE).astype(jnp.float32)
     n_blocks = layout.n_blocks
 
     def call(kernel, ins, outs, in_specs, out_specs):
         return pl.pallas_call(
-            kernel,
+            functools.partial(kernel, chunk=chunk, rows=rows),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(layout.n_chunks,),
@@ -146,7 +150,7 @@ def segment_softmax_aligned(logits: jax.Array, layout: AlignedLayout,
 
     bspec = pl.BlockSpec((1, B, 8), lambda k, cb: (cb[k], 0, 0),
                          memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((ROWS, LANE), lambda k, cb: (k, 0),
+    vspec = pl.BlockSpec((rows, LANE), lambda k, cb: (k, 0),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, B, 8), lambda k, cb: (cb[k], 0, 0),
                          memory_space=pltpu.VMEM)

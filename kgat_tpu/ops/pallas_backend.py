@@ -79,8 +79,16 @@ class EdgeWeights:
     rev: jax.Array   # (E_al_rev,)
 
 
-def prepare_weights(graph: Graph, edge_w: jax.Array) -> EdgeWeights:
+def prepare_weights(graph: Graph, edge_w: jax.Array,
+                    dtype=None) -> EdgeWeights:
+    """Stage canonical edge weights into both aligned layouts.
+
+    dtype: optional weight dtype (bf16 halves the per-step weight stream
+    and keeps the vals multiply in the low-precision domain — see spmm).
+    """
     wm = edge_w * graph.edge_mask
+    if dtype is not None:
+        wm = wm.astype(dtype)
     return EdgeWeights(fwd=wm[graph.fwd_layout.gather],
                        rev=wm[graph.rev_layout.gather])
 
@@ -89,9 +97,17 @@ def _layout_reduce(layout, w_aligned, x, n_nodes,
                    precision=jax.lax.Precision.HIGHEST):
     """One direction of SpMM: gather features straight into the aligned
     order (no separate permutation pass) and reduce with the Pallas kernel.
-    Dead positions carry w == 0 (they gather the masked pad slot)."""
-    vals = x[layout.node] * w_aligned[:, None]
-    return segment_sum_aligned(vals, layout, n_nodes, precision=precision)
+    Dead positions carry w == 0 (they gather the masked pad slot).
+
+    When x (and the staged weights) are bf16, the gather, multiply, and
+    kernel value stream all run at half the bytes; the kernel accumulates
+    f32 on the MXU and returns f32.
+    """
+    vals = x[layout.node] * w_aligned[:, None].astype(x.dtype)
+    if x.dtype == jnp.bfloat16:
+        precision = jax.lax.Precision.DEFAULT  # single-pass by nature
+    return segment_sum_aligned(vals.astype(x.dtype), layout, n_nodes,
+                               precision=precision)
 
 
 @jax.custom_vjp
@@ -110,14 +126,15 @@ def _spmm_bwd(res, g):
     # dL/dw_fwd[j] = <x[node_j], g[seg_j]> — the SDDMM dual, in aligned
     # coordinates. (XLA drops this branch when the weights are
     # stop-gradient, the common case: attention is cached per epoch.)
-    d_w_fwd = jnp.sum(x[fwd_layout.node] * g[fwd_layout.seg], axis=-1)
+    d_w_fwd = jnp.sum(x[fwd_layout.node] * g[fwd_layout.seg],
+                      axis=-1).astype(w_fwd.dtype)
     # dL/dx[u] = sum over edges with src == u of w_e * g[dst_e] — the
     # segment-sum dual on the reverse graph; rev_layout.node is dst there.
     # DEFAULT (bf16-pass) precision: gradients tolerate ~1e-3 noise and it
     # saves ~11% of the reduce (activations keep HIGHEST for parity).
-    d_x = _layout_reduce(rev_layout, w_rev, g, n,
+    d_x = _layout_reduce(rev_layout, w_rev, g.astype(x.dtype), n,
                          precision=jax.lax.Precision.DEFAULT)
-    return (d_w_fwd, None, d_x, None, None)
+    return (d_w_fwd, None, d_x.astype(x.dtype), None, None)
 
 
 _spmm_p.defvjp(_spmm_fwd, _spmm_bwd)
@@ -175,6 +192,8 @@ def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:
     logits_fwd = jnp.zeros((e_al,), flat.dtype).at[graph.att_to_fwd].set(
         flat, mode="drop")
     w_fwd = segment_softmax_aligned(logits_fwd, graph.fwd_layout)
+    if getattr(cfg, "compute_dtype", None) is not None:
+        w_fwd = w_fwd.astype(cfg.compute_dtype)
     w_rev = jnp.take(w_fwd, graph.rev_from_fwd, mode="fill", fill_value=0.0)
     return EdgeWeights(fwd=w_fwd, rev=w_rev)
 

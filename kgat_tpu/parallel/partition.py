@@ -121,10 +121,10 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
     )
     # Rebuild the forward layout against the LOCAL row count (R) with the
     # forced chunk budget, and fix CSR/sentinels to local conventions.
-    from kgat_tpu.graph import _build_aligned_layout
+    from kgat_tpu.graph import _build_aligned_layout, host_array
     n_e = len(src)
-    dst_local_sorted = np.asarray(g.dst)[:n_e]   # local (build used local)
-    src_sorted = np.asarray(g.src)[:n_e]
+    dst_local_sorted = host_array(g, "dst")[:n_e]  # local (build used local)
+    src_sorted = host_array(g, "src")[:n_e]
     fwd = _build_aligned_layout(
         dst_local_sorted.astype(np.int64), src_sorted.astype(np.int64),
         R, n_e, order=np.arange(n_e, dtype=np.int64),
@@ -136,16 +136,16 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
 
     from kgat_tpu.graph import cross_layout_perms
     att_to_fwd, rev_from_fwd = cross_layout_perms(
-        np.asarray(g.att_gather), np.asarray(fwd.gather),
-        np.asarray(rev.gather), n_e, g.n_edges_pad)
+        host_array(g, "att_gather"), host_array(fwd, "gather"),
+        host_array(rev, "gather"), n_e, g.n_edges_pad)
 
     # Global dst for attention gathers (sentinel -> global n_nodes).
-    dst_global = np.where(np.asarray(g.edge_mask) > 0,
-                          np.asarray(g.dst) + p * R,
+    mask_h = host_array(g, "edge_mask")
+    dst_h = host_array(g, "dst")
+    dst_global = np.where(mask_h > 0, dst_h + p * R,
                           info.n_nodes_global).astype(np.int32)
     # Local CSR offsets over local dst (R + 2 rows incl. sentinel).
-    dst_local_pad = np.where(np.asarray(g.edge_mask) > 0,
-                             np.asarray(g.dst), R)
+    dst_local_pad = np.where(mask_h > 0, dst_h, R)
     row_offsets = np.searchsorted(dst_local_pad,
                                   np.arange(R + 2)).astype(np.int32)
 

@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from kgat_tpu import eval as evaluation
+from kgat_tpu import graph as graph_mod
 from kgat_tpu.data import Dataset, load_dataset, synthetic_dataset
 from kgat_tpu.models import kgat
 from kgat_tpu.sampler import (CFSampleTable, KGSampleTable, sample_cf_batch,
@@ -97,10 +98,8 @@ class Trainer:
         self.cf_table = CFSampleTable.build(
             self.ds.cf_train, self.meta.n_users, self.meta.n_items)
         g = self.graph
-        real = slice(0, g.n_edges)
-        ckg_triples = np.stack([
-            np.asarray(g.dst)[real], np.asarray(g.etype)[real],
-            np.asarray(g.src)[real]], axis=1)
+        coo = graph_mod.host_coo(g)
+        ckg_triples = np.stack([coo["dst"], coo["etype"], coo["src"]], axis=1)
         self.kg_table = KGSampleTable.build(
             ckg_triples, n_entities=self.meta.n_nodes,
             n_relations=self.meta.n_relations)
@@ -224,9 +223,8 @@ class Trainer:
             from kgat_tpu.sampler import HostCFSampler, HostKGSampler
             self._host_cf = HostCFSampler(self.ds.train_user_dict,
                                           self.meta.n_items, cfg.seed)
-            tri = np.stack([np.asarray(graph.dst)[:graph.n_edges],
-                            np.asarray(graph.etype)[:graph.n_edges],
-                            np.asarray(graph.src)[:graph.n_edges]], axis=1)
+            coo = graph_mod.host_coo(graph)
+            tri = np.stack([coo["dst"], coo["etype"], coo["src"]], axis=1)
             self._host_kg = HostKGSampler(tri, self.meta.n_nodes, cfg.seed)
 
     def _build_partitioned_steps(self):
@@ -238,9 +236,8 @@ class Trainer:
 
         cfg, graph, meta = self.cfg, self.graph, self.meta
         g = graph
-        src = np.asarray(g.src)[: g.n_edges]
-        dst = np.asarray(g.dst)[: g.n_edges]
-        ety = np.asarray(g.etype)[: g.n_edges]
+        coo = graph_mod.host_coo(g)
+        src, dst, ety = coo["src"], coo["dst"], coo["etype"]
         self.mesh = make_mesh(self.n_devices, axis=AXIS)
         self.pgraph, self.pinfo = partition_graph(
             src, dst, ety, meta.n_nodes, meta.n_relations, self.n_devices)

@@ -93,6 +93,10 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--embed-dim", type=int, default=None)
     p.add_argument("--relation-dim", type=int, default=None)
     p.add_argument("--ops-backend", default=None, choices=["ref", "pallas"])
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["f32", "bf16"],
+                   help="SpMM value-stream dtype (pallas backend); bf16 "
+                        "halves the HBM traffic of the hot loop")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--cf-batch-size", type=int, default=None)
     p.add_argument("--kg-batch-size", type=int, default=None)
@@ -143,6 +147,10 @@ def parse_args(argv=None) -> TrainConfig:
         m["relation_dim"] = a.relation_dim
     if a.ops_backend:
         m["ops_backend"] = a.ops_backend
+    if a.compute_dtype:
+        import jax.numpy as jnp
+        m["compute_dtype"] = (jnp.bfloat16 if a.compute_dtype == "bf16"
+                              else None)
     if m:
         if ("conv_dims" in m) != ("mess_dropout" in m):
             base = m.get("conv_dims", cfg.model.conv_dims)
