@@ -282,13 +282,12 @@ def cf_loss(params: Params, graph: Graph, edge_att: jax.Array, meta: CKGMeta,
 # KG (TransR) phase.
 # ---------------------------------------------------------------------------
 
-def kg_loss(params: Params, h: jax.Array, r: jax.Array, t_pos: jax.Array,
-            t_neg: jax.Array, cfg: KGATConfig,
-            weight: jax.Array | None = None) -> jax.Array:
-    """TransR pairwise loss (paper eqs.1-2): plausibility
-    g(h,r,t) = ||W_r e_h + e_r - W_r e_t||^2, minimize
-    -log sigmoid(g(h,r,t-) - g(h,r,t+)). Pure embedding compute, no graph ops
-    (SURVEY.md §3.4)."""
+def kg_pair_terms(params: Params, h: jax.Array, r: jax.Array,
+                  t_pos: jax.Array, t_neg: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """TransR per-pair loss terms: (pairwise BPR losses, 0.5*sum-of-squares
+    regularizer sum). Shared by the single-device loss and the shard_map'd
+    data-parallel loss (which psums these partials)."""
     emb = params["entity_embed"]
     w_r = params["w_rel"][r]                        # (B, d, k)
     e_r = params["rel_embed"][r]                    # (B, k)
@@ -297,9 +296,21 @@ def kg_loss(params: Params, h: jax.Array, r: jax.Array, t_pos: jax.Array,
     g_pos = jnp.sum((ph + e_r - pp) ** 2, axis=-1)
     g_neg = jnp.sum((ph + e_r - pn) ** 2, axis=-1)
     pair = -jax.nn.log_sigmoid(g_neg - g_pos)
+    ssq = sum(0.5 * jnp.sum(t.astype(jnp.float32) ** 2)
+              for t in (ph, e_r, pp, pn))
+    return pair, ssq
+
+
+def kg_loss(params: Params, h: jax.Array, r: jax.Array, t_pos: jax.Array,
+            t_neg: jax.Array, cfg: KGATConfig,
+            weight: jax.Array | None = None) -> jax.Array:
+    """TransR pairwise loss (paper eqs.1-2): plausibility
+    g(h,r,t) = ||W_r e_h + e_r - W_r e_t||^2, minimize
+    -log sigmoid(g(h,r,t-) - g(h,r,t+)). Pure embedding compute, no graph ops
+    (SURVEY.md §3.4)."""
+    pair, ssq = kg_pair_terms(params, h, r, t_pos, t_neg)
     if weight is not None:
-        pair = pair * weight
-        loss = jnp.sum(pair) / jnp.maximum(jnp.sum(weight), 1.0)
+        loss = jnp.sum(pair * weight) / jnp.maximum(jnp.sum(weight), 1.0)
     else:
         loss = jnp.mean(pair)
-    return loss + cfg.reg_kg * _l2_reg_mean(ph, e_r, pp, pn)
+    return loss + cfg.reg_kg * ssq / h.shape[0]

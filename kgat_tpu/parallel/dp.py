@@ -80,3 +80,42 @@ def make_dp_kg_step(mesh: Mesh, cfg: kgat.KGATConfig,
         return optax.apply_updates(params, updates), opt_state, loss
 
     return step
+
+
+def make_dp_kg_scan(mesh: Mesh, cfg: kgat.KGATConfig,
+                    opt: optax.GradientTransformation, kg_table,
+                    batch_size: int, axis: str = "dp") -> Callable:
+    """Device-resident DP KG phase: lax.scan over minibatches in one
+    compiled program — device-side negative sampling, the TransR loss
+    shard_map'd over the batch axis (per-shard partial sums psum'd over
+    ICI), optimizer update replicated."""
+    from kgat_tpu.sampler import sample_kg_batch
+
+    def dp_loss_inner(params, h, r, tp, tn, w):
+        pair, ssq = kgat.kg_pair_terms(params, h, r, tp, tn)
+        num = jax.lax.psum(jnp.sum(pair * w), axis)
+        den = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1.0)
+        reg = jax.lax.psum(ssq, axis) / batch_size
+        return num / den + cfg.reg_kg * reg
+
+    def dp_loss(params, h, r, tp, tn, w):
+        smapped = jax.shard_map(
+            dp_loss_inner, mesh=mesh,
+            in_specs=(P(),) + (P(axis),) * 5, out_specs=P(),
+            check_vma=False)
+        return smapped(params, h, r, tp, tn, w)
+
+    def scan(params, opt_state, keys):
+        def step(carry, key):
+            params, opt_state = carry
+            h, r, tp, tn, w = sample_kg_batch(kg_table, key, batch_size)
+            loss, grads = jax.value_and_grad(dp_loss)(params, h, r, tp,
+                                                      tn, w)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), keys)
+        return params, opt_state, jnp.sum(losses)
+
+    return scan

@@ -53,7 +53,7 @@ def test_partitioned_attention_and_propagate_match_single(setup):
     att_s = kgat.compute_attention(params, g, cfg)
     emb_s = kgat.propagate(params, g, att_s, cfg)
 
-    attention, propagate_eval, _ = make_partitioned(
+    attention, propagate_eval, _, _ = make_partitioned(
         mesh, pg, info, meta, cfg)
     att_stack, ew_stack = attention(pg, params)
     emb_p = propagate_eval(ew_stack, params)
@@ -94,7 +94,7 @@ def test_partitioned_cf_step_matches_single(setup):
     w = jnp.ones(B)
     rng = jax.random.key(9)
 
-    attention, _, make_cf_step = make_partitioned(
+    attention, _, make_cf_step, _ = make_partitioned(
         mesh, pg, info, meta, cfg0)
     _, ew_stack = attention(pg, params)
     step = make_cf_step(opt)
@@ -118,6 +118,43 @@ def test_partitioned_cf_step_matches_single(setup):
     np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p_p["entity_embed"]),
                                np.asarray(p_s["entity_embed"]), atol=2e-5)
+
+
+def test_partitioned_scan_matches_per_step(setup):
+    """The device-resident chunked scan epoch (one compiled program) must
+    reproduce the per-step partitioned path exactly (same key derivation:
+    split(key) -> sample / dropout)."""
+    g, meta, mesh, pg, info, _cfg, params = setup
+    from kgat_tpu.sampler import CFSampleTable, sample_cf_batch
+
+    ds = synthetic_dataset(seed=21, n_users=80, n_items=60, n_entities=120,
+                           n_relations_kg=3, n_interactions=900,
+                           n_triples=700)
+    table = CFSampleTable.build(ds.cf_train, meta.n_users, meta.n_items)
+    cfg0 = KGATConfig(ops_backend="ref", mess_dropout=(0.0, 0.0, 0.0))
+    attention, _, make_cf_step, make_cf_scan = make_partitioned(
+        mesh, pg, info, meta, cfg0)
+    _, ew = attention(pg, params)
+    opt = optax.adam(1e-3)
+    B = 32
+    keys = jax.random.split(jax.random.key(3), 2)
+
+    scan = jax.jit(make_cf_scan(opt, table, B))
+    p1, o1, s1 = scan(jax.tree.map(jnp.copy, params), opt.init(params),
+                      ew, keys)
+
+    step = make_cf_step(opt)
+    p2, o2 = jax.tree.map(jnp.copy, params), opt.init(params)
+    total = 0.0
+    for k in keys:
+        k_s, k_d = jax.random.split(k)
+        u, ip, ineg, w = sample_cf_batch(table, k_s, B)
+        p2, o2, l = step(p2, o2, ew, u, ip, ineg, w, k_d)
+        total += float(l)
+
+    np.testing.assert_allclose(float(s1), total, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["entity_embed"]),
+                               np.asarray(p2["entity_embed"]), atol=2e-6)
 
 
 def test_partitioned_trainer_e2e(tmp_path):
