@@ -79,34 +79,95 @@ def _make_pspmm(backend: str):
 # Partitioned model fns. All are *inner* fns meant to run inside shard_map.
 # ---------------------------------------------------------------------------
 
-def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
-                     meta: CKGMeta, cfg: kgat.KGATConfig):
-    """Build jitted partitioned attention / propagate / cf-step callables."""
-    N, n_pad, R = info.n_nodes_global, info.n_nodes_pad, info.rows_per_part
-    pspmm = _make_pspmm(cfg.ops_backend)
+import dataclasses
 
-    def attention_inner(g_stack, params):
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RingWeights:
+    """Attention weights staged into every ring bucket's aligned layouts:
+    (P_ring, E_bucket_al) forward / reverse, indexed by ring step."""
+
+    fwd: jax.Array
+    rev: jax.Array
+
+
+def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
+                     meta: CKGMeta, cfg: kgat.KGATConfig,
+                     exchange: str = "allgather", ring_buckets=None):
+    """Build jitted partitioned attention / propagate / cf-step callables.
+
+    exchange: 'allgather' (dense-graph fast path: one activation
+    all-gather per layer) or 'ring' (the overlapped exchange: per-layer
+    ring of (bucket reduce, ppermute) steps — each device reduces the
+    edge bucket whose source chunk just arrived while the next chunk is in
+    flight; see partition.build_ring_buckets). 'ring' requires
+    ring_buckets.
+    """
+    N, n_pad, R = info.n_nodes_global, info.n_nodes_pad, info.rows_per_part
+    nP = info.n_parts
+    pspmm = _make_pspmm(cfg.ops_backend)
+    if exchange == "ring" and ring_buckets is None:
+        raise ValueError("exchange='ring' requires ring_buckets "
+                         "(partition.build_ring_buckets)")
+    if exchange not in ("allgather", "ring"):
+        raise ValueError(f"unknown exchange {exchange!r}")
+    ring = exchange == "ring"
+
+    def attention_inner(g_stack, params, *rb_stack):
         g = _local(g_stack)
         att = jax.lax.stop_gradient(kgat.compute_attention(params, g, cfg))
-        ew = pb.prepare_weights(g, att)
+        if ring:
+            rb = _local(rb_stack[0])
+            wm = att * g.edge_mask
+            if cfg.compute_dtype is not None:
+                wm = wm.astype(cfg.compute_dtype)
+            ew = RingWeights(fwd=wm[rb.fwd.gather], rev=wm[rb.rev.gather])
+        else:
+            ew = pb.prepare_weights(g, att, dtype=cfg.compute_dtype)
         return jax.tree.map(lambda a: a[None], (att, ew))
 
+    att_in_specs = (P(AXIS), P()) + ((P(AXIS),) if ring else ())
     attention = jax.jit(jax.shard_map(
         attention_inner, mesh=mesh,
-        in_specs=(P(AXIS), P()), out_specs=P(AXIS),
+        in_specs=att_in_specs, out_specs=P(AXIS),
         check_vma=False))
+    if ring:
+        _attention = attention
+        attention = lambda g_stack, params: _attention(  # noqa: E731
+            g_stack, params, ring_buckets)
 
-    def propagate_inner(g_stack, ew_stack, params, rng, train: bool):
+    def _ring_side(rb, ew, chunk):
+        """One layer's ring exchange: statically unrolled (reduce, permute)
+        pairs — XLA overlaps the ppermute with the bucket reduce."""
+        side = jnp.zeros((R, chunk.shape[1]), jnp.float32)
+        perm = [(i, (i + 1) % nP) for i in range(nP)]
+        for s in range(nP):
+            fwdl = jax.tree.map(lambda a: a[s], rb.fwd)
+            revl = jax.tree.map(lambda a: a[s], rb.rev)
+            side = side + pspmm(ew.fwd[s], ew.rev[s], chunk, fwdl, revl)
+            if s < nP - 1:
+                chunk = jax.lax.ppermute(chunk, AXIS, perm)
+        return side
+
+    def propagate_inner(g_stack, ew_stack, params, rng, train: bool,
+                        rb_stack=None):
         g = _local(g_stack)
         ew = _local(ew_stack)
+        rb = _local(rb_stack) if ring else None
         p_idx = jax.lax.axis_index(AXIS)
         ego_g = params["entity_embed"]
-        outs = [ego_g]
         x = jnp.pad(ego_g, ((0, n_pad - N), (0, 0)))
+        ego = jax.lax.dynamic_slice(x, (p_idx * R, 0), (R, x.shape[1]))
+        outs_own = [ego] if ring else None
+        outs = [ego_g]
         for li, layer in enumerate(params["layers"]):
-            side = pspmm(ew.fwd, ew.rev, x, g.fwd_layout, g.rev_layout)
-            ego = jax.lax.dynamic_slice(x, (p_idx * R, 0),
-                                        (R, x.shape[1]))
+            if ring:
+                side = _ring_side(rb, ew, ego)
+            else:
+                side = pspmm(ew.fwd, ew.rev, x, g.fwd_layout, g.rev_layout)
+                ego = jax.lax.dynamic_slice(x, (p_idx * R, 0),
+                                            (R, x.shape[1]))
             slope = cfg.leaky_relu_slope
             leaky = lambda v: jnp.where(v >= 0, v, slope * v)  # noqa: E731
             if cfg.aggregator == "gcn":
@@ -123,15 +184,28 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                 keep = 1.0 - cfg.mess_dropout[li]
                 m = jax.random.bernoulli(sub, keep, ego.shape)
                 ego = jnp.where(m, ego / keep, 0.0)
-            # One all-gather per layer: boundary embeddings ride ICI.
-            x = jax.lax.all_gather(ego, AXIS, tiled=True)   # (n_pad, d)
-            norm = x[:N] / jnp.sqrt(jnp.maximum(
-                jnp.sum(x[:N] ** 2, -1, keepdims=True), 1e-12))
-            outs.append(norm)
+            if ring:
+                # Rows stay owned; normalization is row-local. ONE final
+                # all-gather of the concat representation replaces the
+                # per-layer gathers of the dense path.
+                outs_own.append(ego / jnp.sqrt(jnp.maximum(
+                    jnp.sum(ego ** 2, -1, keepdims=True), 1e-12)))
+            else:
+                # One all-gather per layer: boundary embeddings ride ICI.
+                x = jax.lax.all_gather(ego, AXIS, tiled=True)   # (n_pad, d)
+                norm = x[:N] / jnp.sqrt(jnp.maximum(
+                    jnp.sum(x[:N] ** 2, -1, keepdims=True), 1e-12))
+                outs.append(norm)
+        if ring:
+            own = jnp.concatenate(outs_own, axis=-1)            # (R, D)
+            full = jax.lax.all_gather(own, AXIS, tiled=True)    # (n_pad, D)
+            return full[:N]
         return jnp.concatenate(outs, axis=-1)                # (N, D) replicated
 
-    def cf_loss_inner(g_stack, ew_stack, params, u, ip, ineg, w, rng):
-        all_embed = propagate_inner(g_stack, ew_stack, params, rng, True)
+    def cf_loss_inner(g_stack, ew_stack, params, u, ip, ineg, w, rng,
+                      rb_stack=None):
+        all_embed = propagate_inner(g_stack, ew_stack, params, rng, True,
+                                    rb_stack=rb_stack)
         ue = all_embed[meta.user_node(u)]
         pe = all_embed[ip]
         ne = all_embed[ineg]
@@ -146,11 +220,19 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         return loss + cfg.reg_cf * reg
 
     def cf_loss_smapped(params, ew_stack, u, ip, ineg, w, rng):
+        specs = (P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS),
+                 P(AXIS), P(AXIS), P())
+        if ring:
+            smapped = jax.shard_map(
+                lambda g, e, p, uu, pp, nn, ww, rr, rb: cf_loss_inner(
+                    g, e, p, uu, pp, nn, ww, rr, rb_stack=rb),
+                mesh=mesh, in_specs=specs + (P(AXIS),), out_specs=P(),
+                check_vma=False)
+            return smapped(pgraph, ew_stack, params, u, ip, ineg, w, rng,
+                           ring_buckets)
         smapped = jax.shard_map(
             cf_loss_inner, mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS),
-                      P(AXIS), P(AXIS), P()),
-            out_specs=P(), check_vma=False)
+            in_specs=specs, out_specs=P(), check_vma=False)
         return smapped(pgraph, ew_stack, params, u, ip, ineg, w, rng)
 
     def make_cf_step(opt: optax.GradientTransformation):
@@ -193,9 +275,15 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         return scan
 
     def propagate_eval(ew_stack, params):
-        inner = functools.partial(propagate_inner, rng=None, train=False)
+        if ring:
+            smapped = jax.shard_map(
+                lambda g, e, p, rb: propagate_inner(g, e, p, None, False,
+                                                    rb_stack=rb),
+                mesh=mesh, in_specs=(P(AXIS), P(AXIS), P(), P(AXIS)),
+                out_specs=P(), check_vma=False)
+            return smapped(pgraph, ew_stack, params, ring_buckets)
         smapped = jax.shard_map(
-            lambda g, e, p: inner(g, e, p),
+            lambda g, e, p: propagate_inner(g, e, p, None, False),
             mesh=mesh, in_specs=(P(AXIS), P(AXIS), P()), out_specs=P(),
             check_vma=False)
         return smapped(pgraph, ew_stack, params)

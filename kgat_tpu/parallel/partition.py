@@ -44,13 +44,117 @@ class PartitionInfo:
     n_nodes_pad: int         # rows_per_part * n_parts
 
 
-def _needed_chunks(seg: np.ndarray, n_rows: int) -> int:
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RingBuckets:
+    """Per-shard edge buckets in RING-STEP order for the overlapped exchange.
+
+    The SP/CP ring-attention analog for graphs (SURVEY.md §2.3 SP/CP row,
+    [S:98-132] remote-DMA idiom): each device's edges are bucketed by the
+    *source partition block*; at ring step ``s`` device ``p`` holds the
+    embedding chunk of partition ``(p - s) mod P`` and reduces exactly the
+    bucket stored at index ``s`` — a static index, so the whole ring is a
+    statically unrolled loop of (bucket reduce, ppermute) pairs that XLA
+    overlaps (the permute of the next chunk rides ICI while the current
+    bucket computes).
+
+    ``fwd``/``rev`` are AlignedLayouts whose array leaves carry a leading
+    (P,) ring-step axis; fwd segments are LOCAL dst rows (0..R), fwd node
+    ids are LOCAL rows of the in-flight chunk; rev segments are local rows
+    of the chunk (grad destination), rev node ids are local dst rows.
+    ``gather`` maps bucket-aligned positions -> the shard's canonical edge
+    slots (for attention-weight staging).
+    """
+
+    fwd: "AlignedLayout"
+    rev: "AlignedLayout"
+
+
+def _needed_chunks(seg: np.ndarray, n_rows: int,
+                   chunk: int = ALIGN_CHUNK_EDGES) -> int:
     """Chunks an AlignedLayout will need for these segment ids."""
     if len(seg) == 0:
         return 0
     blk = np.bincount(seg // ALIGN_BLOCK_ROWS,
                       minlength=-(-n_rows // ALIGN_BLOCK_ROWS))
-    return int(np.sum(-(-blk // ALIGN_CHUNK_EDGES)))
+    return int(np.sum(-(-blk // chunk)))
+
+
+# Ring buckets hold ~E/P^2 edges each; a small chunk keeps their padding
+# (<= n_dst_blocks * chunk dead slots per bucket) proportionate.
+RING_CHUNK_EDGES = 256
+
+
+def _remap_gather(layout, ids: np.ndarray, dead_slot: int):
+    """Rebase a subset-built AlignedLayout's gather onto canonical slots."""
+    import dataclasses as _dc
+
+    from kgat_tpu.graph import host_array
+    g = host_array(layout, "gather")
+    n_sub = len(ids)
+    if n_sub == 0:
+        g2 = np.full(g.shape, dead_slot, np.int32)
+    else:
+        g2 = np.where(g < n_sub, ids[np.minimum(g, n_sub - 1)],
+                      dead_slot).astype(np.int32)
+    new = _dc.replace(layout, gather=jnp.asarray(g2))
+    object.__setattr__(new, "_host", {**layout._host, "gather": g2})
+    return new
+
+
+def build_ring_buckets(src: np.ndarray, dst: np.ndarray,
+                       info: PartitionInfo) -> RingBuckets:
+    """Build the ring-step-ordered edge buckets for every shard.
+
+    Returns a RingBuckets whose layout leaves have shape (P, P, ...):
+    leading shard axis (sharded over the mesh), then the ring-step axis
+    (statically indexed by the unrolled ring loop). Must be called with the
+    same (src, dst) arrays as :func:`partition_graph` — bucket gathers
+    index each shard's canonical (local-dst stable sorted) edge slots.
+    """
+    from kgat_tpu.graph import _build_aligned_layout, _stable_sort_perm
+
+    P, R = info.n_parts, info.rows_per_part
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+
+    shard_edges = []
+    fwd_need, rev_need = 1, 1
+    for p in range(P):
+        sel = (dst >= p * R) & (dst < (p + 1) * R)
+        s_src, s_dst = src[sel], dst[sel] - p * R
+        order = _stable_sort_perm(s_dst, R)
+        s_src, s_dst = s_src[order], s_dst[order]   # shard-canonical order
+        shard_edges.append((s_src, s_dst))
+        for s in range(P):
+            q = (p - s) % P
+            m = (s_src // R) == q
+            fwd_need = max(fwd_need,
+                           _needed_chunks(s_dst[m], R, RING_CHUNK_EDGES))
+            rev_need = max(rev_need,
+                           _needed_chunks(s_src[m] - q * R, R,
+                                          RING_CHUNK_EDGES))
+
+    per_shard = []
+    for p in range(P):
+        s_src, s_dst = shard_edges[p]
+        n_e = len(s_src)
+        dead = n_e                      # first canonical pad slot (w == 0)
+        steps = []
+        for s in range(P):
+            q = (p - s) % P
+            m = (s_src // R) == q
+            ids = np.nonzero(m)[0]
+            fwd = _build_aligned_layout(
+                s_dst[m], s_src[m] - q * R, R, dead,
+                force_chunks=fwd_need, chunk_edges=RING_CHUNK_EDGES)
+            rev = _build_aligned_layout(
+                s_src[m] - q * R, s_dst[m], R, dead,
+                force_chunks=rev_need, chunk_edges=RING_CHUNK_EDGES)
+            steps.append(RingBuckets(fwd=_remap_gather(fwd, ids, dead),
+                                     rev=_remap_gather(rev, ids, dead)))
+        per_shard.append(jax.tree.map(lambda *xs: jnp.stack(xs), *steps))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_shard)
 
 
 def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,

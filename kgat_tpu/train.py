@@ -245,9 +245,14 @@ class Trainer:
         self.mesh = make_mesh(self.n_devices, axis=AXIS)
         self.pgraph, self.pinfo = partition_graph(
             src, dst, ety, meta.n_nodes, meta.n_relations, self.n_devices)
+        ring_buckets = None
+        if cfg.halo_exchange == "ring":
+            from kgat_tpu.parallel.partition import build_ring_buckets
+            ring_buckets = build_ring_buckets(src, dst, self.pinfo)
         attention_p, propagate_eval_p, _make_cf_step, make_cf_scan = \
             make_partitioned(self.mesh, self.pgraph, self.pinfo, meta,
-                             cfg.model)
+                             cfg.model, exchange=cfg.halo_exchange,
+                             ring_buckets=ring_buckets)
         self._attention = lambda params: attention_p(self.pgraph, params)[1]
         self._propagate_eval = propagate_eval_p
         # batch sizes must divide the device count

@@ -39,6 +39,7 @@ class TrainConfig:
     ckpt_path: Optional[str] = None     # defaults to <log_dir>/<run_name>_best
     resume: bool = False
     n_devices: int = 1                  # >1/0: edge-partitioned over mesh
+    halo_exchange: str = "allgather"    # allgather | ring (overlapped)
     pretrain_path: Optional[str] = None  # npz with user_embed/item_embed
     profile_epochs: int = 0             # capture a jax.profiler trace
     # synthetic dataset scale (used when dataset == synthetic)
@@ -111,6 +112,11 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--n-devices", type=int, default=None,
                    help="devices for edge-partitioned training; 0 = all")
+    p.add_argument("--halo-exchange", default=None,
+                   choices=["allgather", "ring"],
+                   help="partitioned boundary exchange: per-layer "
+                        "all-gather (dense fast path) or the overlapped "
+                        "ring of bucket reduces")
     p.add_argument("--use-pretrain", dest="pretrain_path", default=None,
                    help="npz with user_embed/item_embed (BPR-MF init)")
     p.add_argument("--profile-epochs", type=int, default=None,
@@ -125,7 +131,7 @@ def parse_args(argv=None) -> TrainConfig:
     for field in ("dataset", "data_root", "lr", "cf_batch_size",
                   "kg_batch_size", "epochs", "eval_every", "stopping_steps",
                   "k", "seed", "sampler", "log_dir", "run_name", "n_devices",
-                  "pretrain_path", "profile_epochs", "syn_users",
+                  "halo_exchange", "pretrain_path", "profile_epochs", "syn_users",
                   "syn_items", "syn_entities", "syn_relations",
                   "syn_interactions", "syn_triples"):
         v = getattr(a, field)

@@ -120,6 +120,59 @@ def test_partitioned_cf_step_matches_single(setup):
                                np.asarray(p_s["entity_embed"]), atol=2e-5)
 
 
+def test_ring_exchange_matches_single(setup):
+    """The overlapped ring exchange (bucket reduces + ppermute) must
+    reproduce single-device propagation and the per-step CF step
+    bit-near-exactly — SURVEY §2.3 SP/CP row's named technique."""
+    from kgat_tpu.parallel.partition import build_ring_buckets
+    from kgat_tpu.graph import host_coo
+
+    g, meta, mesh, pg, info, cfg, params = setup
+    coo = host_coo(g)
+    rb = build_ring_buckets(coo["src"], coo["dst"], info)
+
+    att_s = kgat.compute_attention(params, g, cfg)
+    emb_s = kgat.propagate(params, g, att_s, cfg)
+
+    attention, propagate_eval, make_cf_step, _ = make_partitioned(
+        mesh, pg, info, meta, cfg, exchange="ring", ring_buckets=rb)
+    _, rw = attention(pg, params)
+    emb_p = propagate_eval(rw, params)
+    np.testing.assert_allclose(np.asarray(emb_p), np.asarray(emb_s),
+                               rtol=1e-4, atol=1e-4)
+
+    # CF step parity (dropout off for determinism).
+    cfg0 = KGATConfig(ops_backend="ref", mess_dropout=(0.0, 0.0, 0.0))
+    attention0, _, make_cf_step0, _ = make_partitioned(
+        mesh, pg, info, meta, cfg0, exchange="ring", ring_buckets=rb)
+    _, rw0 = attention0(pg, params)
+    opt = optax.adam(1e-3)
+    B = 32
+    u = jnp.arange(B, dtype=jnp.int32) % meta.n_users
+    ip = jnp.arange(B, dtype=jnp.int32) % meta.n_items
+    ineg = (jnp.arange(B, dtype=jnp.int32) + 3) % meta.n_items
+    w = jnp.ones(B)
+    rng = jax.random.key(9)
+    step = make_cf_step0(opt)
+    p_p, _, loss_p = step(jax.tree.map(jnp.copy, params),
+                          opt.init(params), rw0, u, ip, ineg, w, rng)
+
+    att0 = kgat.compute_attention(params, g, cfg0)
+
+    @jax.jit
+    def single(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: kgat.cf_loss(p, g, att0, meta, u, ip, ineg, cfg0,
+                                   rng=rng, train=True, weight=w))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), loss
+
+    p_s, loss_s = single(jax.tree.map(jnp.copy, params), opt.init(params))
+    np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_p["entity_embed"]),
+                               np.asarray(p_s["entity_embed"]), atol=2e-5)
+
+
 def test_partitioned_scan_matches_per_step(setup):
     """The device-resident chunked scan epoch (one compiled program) must
     reproduce the per-step partitioned path exactly (same key derivation:
@@ -157,7 +210,8 @@ def test_partitioned_scan_matches_per_step(setup):
                                np.asarray(p2["entity_embed"]), atol=2e-6)
 
 
-def test_partitioned_trainer_e2e(tmp_path):
+@pytest.mark.parametrize("exchange", ["allgather", "ring"])
+def test_partitioned_trainer_e2e(tmp_path, exchange):
     """Config 5's shape: multi-device trainer with edge-partitioned CF
     phase + DP KG phase, driven end-to-end for two epochs."""
     from kgat_tpu.train import Trainer
@@ -166,6 +220,7 @@ def test_partitioned_trainer_e2e(tmp_path):
     cfg = TrainConfig(
         dataset="synthetic", epochs=2, eval_every=2, lr=5e-3,
         cf_batch_size=64, kg_batch_size=64, n_devices=8, seed=5,
+        halo_exchange=exchange,
         log_dir=str(tmp_path),
         syn_users=50, syn_items=40, syn_entities=80, syn_relations=3,
         syn_interactions=500, syn_triples=400,
