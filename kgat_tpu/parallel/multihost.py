@@ -1,4 +1,4 @@
-"""Multi-host (DCN) execution scaffolding (SURVEY.md §M5).
+"""Multi-host (DCN) execution (SURVEY.md §M5).
 
 On a multi-host pod slice, each host runs this same program;
 `jax.distributed.initialize` forms the process group over DCN and
@@ -8,14 +8,21 @@ simply covers more devices, with XLA routing intra-slice collectives over
 ICI and cross-host legs over DCN.
 
 Host-side data handling: every host loads the dataset and partitions the
-CKG identically (deterministic), then materializes only its own devices'
-shards; `stack_local_shards` builds the global stacked Graph from
-per-device arrays via `jax.make_array_from_single_device_arrays` so no
-host ever holds all shards.
+CKG identically (deterministic), then `stack_shards` device_puts only its
+OWN devices' shard slices and assembles the global stacked Graph with
+`jax.make_array_from_single_device_arrays` — no cross-host transfer, and
+each shard lands directly on its owning device (also used on one host:
+the stacked graph is born sharded instead of being resharded per step).
 
-This module is exercised single-host in CI (n_hosts=1 degenerates to the
-tested path); real multi-host runs need a pod slice, which this machine
-does not have (single chip behind a tunnel) — see BASELINE.md.
+Two-host launch (v5e-16, standard pod env vars set by the launcher):
+
+    host0$ COORDINATOR_ADDRESS=host0:8476 NUM_PROCESSES=2 PROCESS_ID=0 \\
+           python -m kgat_tpu.train --preset yelp-partitioned
+    host1$ COORDINATOR_ADDRESS=host0:8476 NUM_PROCESSES=2 PROCESS_ID=1 \\
+           python -m kgat_tpu.train --preset yelp-partitioned
+
+The trainer calls `initialize_distributed()` (a no-op single-process) and
+builds the mesh over `jax.devices()` — the whole slice.
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ from typing import Optional
 
 import jax
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 
 def initialize_distributed(coordinator: Optional[str] = None,
@@ -55,18 +63,32 @@ def local_shard_ids(n_parts: int) -> list[int]:
     return [p for p in range(start, min(start + n_local, n_parts))]
 
 
-def stack_local_shards(shard_arrays, mesh, spec):
-    """Assemble a global stacked array from per-local-device shard arrays.
+def stack_shards(shard_arrays, mesh, axis: str = "ep"):
+    """Stack per-shard arrays along a new leading mesh axis, placing each
+    shard directly on its owning device.
 
-    shard_arrays: list of np arrays, one per local device, each (1, ...)
-    slices of the global (n_parts, ...) array.
+    shard_arrays: sequence covering ALL n_parts shards (host-side or
+    device arrays). Only this process's local devices' slices are
+    device_put; the rest are addressed by other processes. Returns a
+    global (n_parts, ...) jax.Array sharded P(axis) over the mesh.
     """
-    from jax.sharding import NamedSharding
-
-    sharding = NamedSharding(mesh, spec)
-    global_shape = (len(shard_arrays) * jax.process_count(),
-                    *shard_arrays[0].shape[1:])
-    locals_ = [jax.device_put(a, d)
-               for a, d in zip(shard_arrays, mesh.local_devices)]
+    arrs = list(shard_arrays)
+    sharding = NamedSharding(mesh, PartitionSpec(axis))
+    a0 = np.asarray(arrs[0])
+    global_shape = (len(arrs),) + a0.shape
+    n_local = len(mesh.local_devices)
+    start = jax.process_index() * n_local
+    locals_ = [
+        jax.device_put(np.asarray(arrs[start + i])[None], d)
+        for i, d in enumerate(mesh.local_devices)
+        if start + i < len(arrs)
+    ]
     return jax.make_array_from_single_device_arrays(
         global_shape, sharding, locals_)
+
+
+def stack_pytrees(per_shard_trees, mesh, axis: str = "ep"):
+    """Leaf-wise :func:`stack_shards` over per-shard pytrees (e.g. the
+    per-shard Graphs of an edge partition)."""
+    return jax.tree.map(
+        lambda *xs: stack_shards(xs, mesh, axis), *per_shard_trees)

@@ -103,7 +103,7 @@ def _remap_gather(layout, ids: np.ndarray, dead_slot: int):
 
 
 def build_ring_buckets(src: np.ndarray, dst: np.ndarray,
-                       info: PartitionInfo) -> RingBuckets:
+                       info: PartitionInfo, mesh=None) -> RingBuckets:
     """Build the ring-step-ordered edge buckets for every shard.
 
     Returns a RingBuckets whose layout leaves have shape (P, P, ...):
@@ -154,11 +154,15 @@ def build_ring_buckets(src: np.ndarray, dst: np.ndarray,
             steps.append(RingBuckets(fwd=_remap_gather(fwd, ids, dead),
                                      rev=_remap_gather(rev, ids, dead)))
         per_shard.append(jax.tree.map(lambda *xs: jnp.stack(xs), *steps))
+    if mesh is not None:
+        from kgat_tpu.parallel.multihost import stack_pytrees
+        return stack_pytrees(per_shard, mesh, axis=mesh.axis_names[0])
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_shard)
 
 
 def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
                     n_nodes: int, n_relations: int, n_parts: int,
+                    mesh=None,
                     ) -> Tuple[Graph, PartitionInfo]:
     """Partition edges by destination block into a stacked SPMD Graph.
 
@@ -169,6 +173,11 @@ def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
     reverse layout's segments are GLOBAL source rows (feature gradients are
     per-shard partials over the whole table, summed by the all-gather
     transpose).
+
+    mesh: when given, leaves are assembled shard-per-device over the
+    mesh's leading axis (multihost.stack_pytrees) — required on multi-host
+    (each process places only its local shards) and avoids per-step
+    resharding on one host.
     """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -201,7 +210,11 @@ def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
                          edge_pad, rel_pad, fwd_chunks, rev_chunks)
         built.append(g)
 
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
+    if mesh is not None:
+        from kgat_tpu.parallel.multihost import stack_pytrees
+        stacked = stack_pytrees(built, mesh, axis=mesh.axis_names[0])
+    else:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
     return stacked, info
 
 

@@ -242,13 +242,17 @@ class Trainer:
         g = graph
         coo = graph_mod.host_coo(g)
         src, dst, ety = coo["src"], coo["dst"], coo["etype"]
+        from kgat_tpu.parallel.multihost import initialize_distributed
+        initialize_distributed()  # no-op single-process; DCN group on pods
         self.mesh = make_mesh(self.n_devices, axis=AXIS)
         self.pgraph, self.pinfo = partition_graph(
-            src, dst, ety, meta.n_nodes, meta.n_relations, self.n_devices)
+            src, dst, ety, meta.n_nodes, meta.n_relations, self.n_devices,
+            mesh=self.mesh)
         ring_buckets = None
         if cfg.halo_exchange == "ring":
             from kgat_tpu.parallel.partition import build_ring_buckets
-            ring_buckets = build_ring_buckets(src, dst, self.pinfo)
+            ring_buckets = build_ring_buckets(src, dst, self.pinfo,
+                                              mesh=self.mesh)
         attention_p, propagate_eval_p, _make_cf_step, make_cf_scan = \
             make_partitioned(self.mesh, self.pgraph, self.pinfo, meta,
                              cfg.model, exchange=cfg.halo_exchange,
