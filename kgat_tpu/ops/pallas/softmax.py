@@ -167,3 +167,103 @@ def segment_softmax_aligned(logits: jax.Array, layout: AlignedLayout,
                jax.ShapeDtypeStruct(packed.shape, jnp.float32),
                [bspec, vspec, sspec], vspec)
     return out.reshape(e_al)
+
+
+# ---------------------------------------------------------------------------
+# Backward: d_logits = w * (g - sum_row(w * g)) — two streaming passes over
+# the same aligned layout (DGL supplies edge-softmax backward; SURVEY.md
+# §2.2 autograd row).
+# ---------------------------------------------------------------------------
+
+def _wsum_kernel(cb_ref, bounds_ref, w_ref, g_ref, sum_ref, *, chunk, rows):
+    base, first = _common(cb_ref, chunk)
+    bounds = bounds_ref[0]
+    lo, hi = bounds[:, 0:1], bounds[:, 1:2]
+    wv, gv = w_ref[:], g_ref[:]
+    acc = jnp.zeros((B, 1), jnp.float32)
+    for r, mask in _masks(base, lo, hi, rows):
+        t = wv[r: r + 1, :] * gv[r: r + 1, :]
+        acc = acc + jnp.sum(jnp.where(mask, t, 0.0), axis=1, keepdims=True)
+
+    @pl.when(first)
+    def _():
+        sum_ref[:] = _stat8(acc)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        sum_ref[:] = sum_ref[:] + _stat8(acc)
+
+
+def _dlogit_kernel(cb_ref, bounds_ref, w_ref, g_ref, sum_ref, out_ref,
+                   *, chunk, rows):
+    base, _ = _common(cb_ref, chunk)
+    bounds = bounds_ref[0]
+    lo, hi = bounds[:, 0:1], bounds[:, 1:2]
+    wv, gv = w_ref[:], g_ref[:]
+    sb = sum_ref[0, :, 0:1]                      # (B, 1)
+    outs = []
+    for r, mask in _masks(base, lo, hi, rows):
+        srow = jnp.sum(jnp.where(mask, sb, 0.0), axis=0, keepdims=True)
+        # dead positions carry w == 0 -> gradient 0 automatically
+        outs.append(wv[r: r + 1, :] * (gv[r: r + 1, :] - srow))
+    out_ref[:] = jnp.concatenate(outs, axis=0)
+
+
+def segment_softmax_aligned_bwd(w: jax.Array, g: jax.Array,
+                                layout: AlignedLayout,
+                                *, interpret: bool = False) -> jax.Array:
+    """d_logits given softmax output w and cotangent g (both (E_al,))."""
+    e_al = w.shape[0]
+    chunk = layout.chunk_edges
+    rows = chunk // LANE
+    wp = w.reshape(e_al // LANE, LANE).astype(jnp.float32)
+    gp = g.reshape(e_al // LANE, LANE).astype(jnp.float32)
+
+    def call(kernel, ins, outs, in_specs, out_specs):
+        return pl.pallas_call(
+            functools.partial(kernel, chunk=chunk, rows=rows),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(layout.n_chunks,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            out_shape=outs,
+            interpret=interpret,
+        )(layout.chunk_block, *ins)
+
+    bspec = pl.BlockSpec((1, B, 8), lambda k, cb: (cb[k], 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((rows, LANE), lambda k, cb: (k, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, B, 8), lambda k, cb: (cb[k], 0, 0),
+                         memory_space=pltpu.VMEM)
+    stat_shape = jax.ShapeDtypeStruct((layout.n_blocks, B, 8), jnp.float32)
+
+    sums = call(_wsum_kernel, (layout.bounds, wp, gp), stat_shape,
+                [bspec, vspec, vspec], sspec)
+    out = call(_dlogit_kernel, (layout.bounds, wp, gp, sums),
+               jax.ShapeDtypeStruct(wp.shape, jnp.float32),
+               [bspec, vspec, vspec, sspec], vspec)
+    return out.reshape(e_al)
+
+
+@jax.custom_vjp
+def segment_softmax_aligned_ad(logits: jax.Array, layout: AlignedLayout
+                               ) -> jax.Array:
+    """Differentiable aligned segment softmax (forward == the fused
+    3-pass kernel)."""
+    return segment_softmax_aligned(logits, layout)
+
+
+def _sm_fwd(logits, layout):
+    w = segment_softmax_aligned(logits, layout)
+    return w, (w, layout)
+
+
+def _sm_bwd(res, g):
+    w, layout = res
+    return (segment_softmax_aligned_bwd(w, g, layout), None)
+
+
+segment_softmax_aligned_ad.defvjp(_sm_fwd, _sm_bwd)

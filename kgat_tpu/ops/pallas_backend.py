@@ -24,7 +24,7 @@ import numpy as np
 from kgat_tpu.graph import Graph
 from kgat_tpu.ops import ref as _ref
 from kgat_tpu.ops.pallas.segment_sum import segment_sum_aligned
-from kgat_tpu.ops.pallas.sddmm import sddmm_transr
+from kgat_tpu.ops.pallas.sddmm import sddmm_transr_ad
 
 # Scalar-wise ops: reference path (cheap relative to SpMM/SDDMM).
 segment_softmax = _ref.segment_softmax
@@ -163,8 +163,8 @@ def _attention_logits_flat(params, graph: Graph) -> jax.Array:
     dst_c = jnp.minimum(graph.dst, graph.n_nodes - 1)
     eh = emb[dst_c[graph.att_gather]]     # heads (E_att_pad, d)
     et = emb[graph.src[graph.att_gather]]  # tails
-    return sddmm_transr(eh, et, params["w_rel"], params["rel_embed"],
-                        tile_rel, tile)
+    return sddmm_transr_ad(eh, et, params["w_rel"], params["rel_embed"],
+                           tile_rel, tile)
 
 
 def attention_logits(params, graph: Graph, cfg) -> jax.Array:
@@ -186,12 +186,12 @@ def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:
     this pipeline replaces all of it with one scatter + one take + three
     streaming kernel passes.
     """
-    from kgat_tpu.ops.pallas.softmax import segment_softmax_aligned
+    from kgat_tpu.ops.pallas.softmax import segment_softmax_aligned_ad
     flat = _attention_logits_flat(params, graph)
     e_al = graph.fwd_layout.gather.shape[0]
     logits_fwd = jnp.zeros((e_al,), flat.dtype).at[graph.att_to_fwd].set(
         flat, mode="drop")
-    w_fwd = segment_softmax_aligned(logits_fwd, graph.fwd_layout)
+    w_fwd = segment_softmax_aligned_ad(logits_fwd, graph.fwd_layout)
     if getattr(cfg, "compute_dtype", None) is not None:
         w_fwd = w_fwd.astype(cfg.compute_dtype)
     w_rev = jnp.take(w_fwd, graph.rev_from_fwd, mode="fill", fill_value=0.0)

@@ -91,6 +91,51 @@ def test_pallas_full_model_parity(graph_meta):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_attention_grads_match_ref(graph_meta, rng):
+    """Full differentiability of the pallas attention path (SURVEY.md §2.2
+    autograd row: DGL supplies backward for SpMM, SDDMM AND edge-softmax).
+    Grad of a scalar of the *normalized* attention wrt all params must
+    match the ref backend — exercises the SDDMM VJP kernel and the aligned
+    segment-softmax VJP kernels end-to-end."""
+    g, meta = graph_meta
+    cfg_ref = KGATConfig(ops_backend="ref")
+    cfg_pal = KGATConfig(ops_backend="pallas")
+    params = kgat.init_params(jax.random.key(13), meta.n_nodes,
+                              meta.n_relations, cfg_ref)
+    cot = jnp.asarray(rng.normal(size=g.n_edges_pad).astype(np.float32))
+
+    def loss(cfg):
+        def f(p):
+            att = kgat.compute_attention(p, g, cfg)
+            return jnp.vdot(att, cot)
+        return f
+
+    grads_ref = jax.grad(loss(cfg_ref))(params)
+    with pltpu.force_tpu_interpret_mode():
+        grads_pal = jax.grad(loss(cfg_pal))(params)
+    for k in ("entity_embed", "rel_embed", "w_rel"):
+        np.testing.assert_allclose(np.asarray(grads_pal[k]),
+                                   np.asarray(grads_ref[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+
+    # The fused pipeline (aligned softmax) must be differentiable too.
+    def loss_prep(p):
+        ew = pb.attention_prepared(p, g, cfg_pal)
+        return jnp.sum(ew.fwd ** 2) + jnp.sum(ew.rev ** 2)
+
+    def loss_prep_ref(p):
+        att = kgat.compute_attention(p, g, cfg_ref)
+        ew = pb.prepare_weights(g, att)
+        return jnp.sum(ew.fwd ** 2) + jnp.sum(ew.rev ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_prep)(params)
+    gr = jax.grad(loss_prep_ref)(params)
+    for k in ("entity_embed", "rel_embed", "w_rel"):
+        np.testing.assert_allclose(np.asarray(gp[k]), np.asarray(gr[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+
+
 def test_fused_attention_pipeline_matches_ref(graph_meta):
     """attention_prepared (scatter->aligned softmax->take) must equal the
     canonical-path softmax gathered into both layouts."""
