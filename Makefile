@@ -3,7 +3,12 @@
 
 CPU_ENV = JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu
 
-.PHONY: test native bench bench-smoke smoke clean
+.PHONY: test native bench bench-smoke smoke tpu-smoke clean
+
+# Mosaic-compile every Pallas kernel (fwd+bwd) + pallas-in-shard_map on a
+# real chip — the coverage CPU CI structurally cannot provide.
+tpu-smoke:
+	python tpu_smoke.py
 
 test:
 	python -m pytest tests/ -q

@@ -90,12 +90,15 @@ def median_time(fn, *args, iters=10, warmup=1):
     return max(float(np.median(ts)) - base, 1e-9)
 
 
-def bench_backend(graph, meta, backend: str, batch: int, iters: int):
+def bench_backend(graph, meta, backend: str, batch: int, iters: int,
+                  compute_dtype: str = "bf16"):
     import dataclasses
 
     from kgat_tpu.models import kgat
 
-    cfg = kgat.KGATConfig(ops_backend=backend)
+    cd = jnp.bfloat16 if (backend == "pallas"
+                          and compute_dtype == "bf16") else None
+    cfg = kgat.KGATConfig(ops_backend=backend, compute_dtype=cd)
     params = kgat.init_params(jax.random.key(0), meta.n_nodes,
                               meta.n_relations, cfg)
     E, L = graph.n_edges, len(cfg.conv_dims)
@@ -190,6 +193,11 @@ def main(argv=None):
                    help="measure device limits and report stage efficiency")
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--compute-dtype", default="bf16",
+                   choices=["f32", "bf16"],
+                   help="pallas SpMM value-stream dtype (production "
+                        "config is bf16: f32 Adam/master weights, bf16 "
+                        "gather+reduce streams, f32 MXU accumulation)")
     a = p.parse_args(argv)
 
     dev = jax.devices()[0]
@@ -201,7 +209,8 @@ def main(argv=None):
           f"{meta.n_relations} relations in {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    res = bench_backend(graph, meta, a.backend, a.batch, a.iters)
+    res = bench_backend(graph, meta, a.backend, a.batch, a.iters,
+                        compute_dtype=a.compute_dtype)
     # Without --compare, report against the recorded XLA ref-path
     # measurement for this preset (v5e 1 chip, 2026-08-17; BASELINE.md) so
     # the default run still carries a meaningful ratio at bounded runtime.
@@ -213,7 +222,8 @@ def main(argv=None):
         vs = res["cf_step_edges_per_s"] / ref_rate
     ref_fields = {}
     if a.compare and a.backend != "ref":
-        ref = bench_backend(graph, meta, "ref", a.batch, a.iters)
+        ref = bench_backend(graph, meta, "ref", a.batch, a.iters,
+                            compute_dtype="f32")
         vs = res["cf_step_edges_per_s"] / ref["cf_step_edges_per_s"]
         ref_fields = {
             "ref_t_cf_step_ms": round(ref["t_cf_step_s"] * 1e3, 3),

@@ -143,18 +143,19 @@ def sample_cf_batch(table: CFSampleTable, rng: jax.Array, batch_size: int
     pos_off = jax.random.randint(r_pos, (batch_size,), 0, 1 << 30)
     i_pos = table.items[lo + pos_off % jnp.maximum(hi - lo, 1)]
 
-    def try_neg(state, key):
-        cand, ok = state
-        draw = jax.random.randint(key, (batch_size,), 0, table.n_items)
-        is_pos = pair_member(table.users, table.items, u, draw)
-        accept = (~ok) & (~is_pos)
-        return (jnp.where(accept, draw, cand), ok | accept), None
-
-    keys = jax.random.split(r_neg, table.max_tries)
-    (i_neg, ok), _ = jax.lax.scan(try_neg,
-                                  (jnp.zeros(batch_size, jnp.int32),
-                                   jnp.zeros(batch_size, bool)), keys)
-    return u, i_pos, i_neg, ok.astype(jnp.float32)
+    # All rejection tries at once: one (T*B)-wide membership query instead
+    # of T dependent rounds (the sequential scan was a measured per-step
+    # fixed cost at small batch sizes); taking the FIRST clean draw keeps
+    # the sequential-rejection distribution exactly.
+    T = table.max_tries
+    draws = jax.random.randint(r_neg, (T, batch_size), 0, table.n_items)
+    is_pos = pair_member(table.users, table.items,
+                         jnp.broadcast_to(u, (T, batch_size)), draws)
+    ok = ~is_pos                                    # (T, B)
+    first = jnp.argmax(ok, axis=0)                  # first clean try
+    i_neg = draws[first, jnp.arange(batch_size)]
+    valid = jnp.any(ok, axis=0)
+    return u, i_pos, jnp.where(valid, i_neg, 0), valid.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -206,19 +207,18 @@ def sample_kg_batch(table: KGSampleTable, rng: jax.Array, batch_size: int
     idx = jax.random.randint(r_idx, (batch_size,), 0, table.h.shape[0])
     h, r, t_pos = table.h[idx], table.r[idx], table.t[idx]
 
-    def try_neg(state, key):
-        cand, ok = state
-        draw = jax.random.randint(key, (batch_size,), 0, table.n_entities)
-        exists = triple_member(table.h_sorted, table.r_sorted,
-                               table.t_sorted, h, r, draw)
-        accept = (~ok) & (~exists)
-        return (jnp.where(accept, draw, cand), ok | accept), None
-
-    keys = jax.random.split(r_neg, table.max_tries)
-    (t_neg, ok), _ = jax.lax.scan(try_neg,
-                                  (jnp.zeros(batch_size, jnp.int32),
-                                   jnp.zeros(batch_size, bool)), keys)
-    return h, r, t_pos, t_neg, ok.astype(jnp.float32)
+    # Vectorized rejection (see sample_cf_batch): one wide query, take the
+    # first clean draw per row.
+    T = table.max_tries
+    draws = jax.random.randint(r_neg, (T, batch_size), 0, table.n_entities)
+    exists = triple_member(table.h_sorted, table.r_sorted, table.t_sorted,
+                           jnp.broadcast_to(h, (T, batch_size)),
+                           jnp.broadcast_to(r, (T, batch_size)), draws)
+    ok = ~exists
+    first = jnp.argmax(ok, axis=0)
+    t_neg = draws[first, jnp.arange(batch_size)]
+    valid = jnp.any(ok, axis=0)
+    return h, r, t_pos, jnp.where(valid, t_neg, 0), valid.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

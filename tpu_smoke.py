@@ -1,0 +1,108 @@
+"""Real-TPU gated smoke: Mosaic-compile every Pallas kernel (fwd + bwd)
+and the pallas+shard_map composition that CPU CI cannot cover.
+
+CPU CI runs kernels in interpreter mode and downgrades shard_map runs to
+the ref backend (interpret-mode Pallas inside shard_map hangs on CPU), so
+interpreter-green is not Mosaic-green (lane/sublane tiling rules only fire
+on real compile). The driver / `make tpu-smoke` runs this when a chip is
+present. Exits nonzero on any failure.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    dev = jax.devices()[0]
+    if dev.platform not in ("tpu", "axon") and "TPU" not in str(
+            getattr(dev, "device_kind", "")):
+        print(f"SKIP: no TPU (devices={jax.devices()})")
+        return 0
+    print(f"# tpu_smoke on {dev.platform}:{dev.device_kind}", flush=True)
+
+    from kgat_tpu.data import synthetic_dataset
+    from kgat_tpu.models import kgat
+    from kgat_tpu.models.kgat import KGATConfig
+    from kgat_tpu.ops import pallas_backend as pb
+    from kgat_tpu.ops import ref as ref_ops
+
+    ds = synthetic_dataset(seed=11, n_users=60, n_items=40, n_entities=90,
+                           n_relations_kg=4, n_interactions=700,
+                           n_triples=500)
+    g, meta = ds.build()
+    cfg = KGATConfig(ops_backend="pallas")
+    cfg_ref = KGATConfig(ops_backend="ref")
+    params = kgat.init_params(jax.random.key(3), meta.n_nodes,
+                              meta.n_relations, cfg)
+    rng = np.random.default_rng(0)
+
+    # SpMM fwd+bwd (f32 and bf16 value streams).
+    w = jnp.asarray(rng.normal(size=g.n_edges_pad).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, 64)).astype(np.float32))
+    want = np.asarray(ref_ops.spmm(g, w, x))
+    for dt in (jnp.float32, jnp.bfloat16):
+        got = np.asarray(jax.jit(
+            lambda w_, x_: pb.spmm(g, w_, x_.astype(dt)))(w, x))
+        tol = 1e-4 if dt == jnp.float32 else 2e-2
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+        dx = jax.jit(jax.grad(lambda x_: jnp.sum(
+            pb.spmm(g, w, x_.astype(dt)) ** 2)))(x)
+        assert np.isfinite(np.asarray(dx)).all()
+    print("spmm fwd+bwd ok (f32, bf16)", flush=True)
+
+    # Attention fwd + full VJP through SDDMM + aligned softmax kernels.
+    att_ref = np.asarray(kgat.compute_attention(params, g, cfg_ref))
+    att_pal = np.asarray(jax.jit(
+        lambda p: kgat.compute_attention(p, g, cfg))(params))
+    np.testing.assert_allclose(att_pal, att_ref, rtol=1e-4, atol=1e-5)
+    cot = jnp.asarray(rng.normal(size=g.n_edges_pad).astype(np.float32))
+    grads = jax.jit(jax.grad(
+        lambda p: jnp.vdot(kgat.compute_attention(p, g, cfg), cot)))(params)
+    grads_ref = jax.grad(
+        lambda p: jnp.vdot(kgat.compute_attention(p, g, cfg_ref), cot))(
+            params)
+    for k in ("entity_embed", "rel_embed", "w_rel"):
+        np.testing.assert_allclose(np.asarray(grads[k]),
+                                   np.asarray(grads_ref[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+    gp = jax.jit(jax.grad(lambda p: jnp.sum(
+        pb.attention_prepared(p, g, cfg).fwd ** 2)))(params)
+    assert np.isfinite(np.asarray(gp["w_rel"])).all()
+    print("attention fwd + VJP kernels ok", flush=True)
+
+    # pallas + shard_map on a real mesh(n_devices) — incl. the ring path.
+    from kgat_tpu.graph import host_coo
+    from kgat_tpu.parallel.dp import make_mesh
+    from kgat_tpu.parallel.halo import AXIS, make_partitioned
+    from kgat_tpu.parallel.partition import (build_ring_buckets,
+                                             partition_graph)
+
+    n_dev = len(jax.devices())
+    coo = host_coo(g)
+    mesh = make_mesh(n_dev, axis=AXIS)
+    pg, info = partition_graph(coo["src"], coo["dst"], coo["etype"],
+                               meta.n_nodes, meta.n_relations, n_dev,
+                               mesh=mesh)
+    emb_s = np.asarray(kgat.propagate(
+        params, g, jnp.asarray(att_ref), cfg_ref))
+    for exchange in ("allgather", "ring"):
+        rb = (build_ring_buckets(coo["src"], coo["dst"], info, mesh=mesh)
+              if exchange == "ring" else None)
+        attention, propagate_eval, _, _ = make_partitioned(
+            mesh, pg, info, meta, cfg, exchange=exchange, ring_buckets=rb)
+        _, ew = attention(pg, params)
+        emb_p = np.asarray(propagate_eval(ew, params))
+        np.testing.assert_allclose(emb_p, emb_s, rtol=1e-3, atol=1e-3)
+        print(f"pallas+shard_map mesh({n_dev}) {exchange} ok", flush=True)
+
+    print("TPU SMOKE PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
