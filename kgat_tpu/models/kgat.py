@@ -137,8 +137,12 @@ def attention_logits(params: Params, graph: Graph,
         e_h = emb[dst[idx]]                      # (B, d) heads
         e_t = emb[graph.src[idx]]                # (B, d) tails
         w_r = params["w_rel"][r]                 # (d, k)
-        proj_h = jnp.dot(e_h, w_r, preferred_element_type=jnp.float32)
-        proj_t = jnp.dot(e_t, w_r, preferred_element_type=jnp.float32)
+        # HIGHEST: the ref path is the precision oracle; TPU's DEFAULT
+        # f32 dot is a single bf16 pass (~1e-2 abs on these logits).
+        proj_h = jnp.dot(e_h, w_r, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        proj_t = jnp.dot(e_t, w_r, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         logit = jnp.sum(proj_t * jnp.tanh(proj_h + params["rel_embed"][r]),
                         axis=-1)
         att_logits_parts.append(logit.astype(cfg.dtype))
