@@ -65,15 +65,44 @@ class Dataset:
     def n_kg_train(self) -> int:
         return len(self.kg_triples)
 
-    def build(self, *, edge_block: int = 2048, rel_block: int = 1024
-              ) -> Tuple[Graph, CKGMeta]:
-        """Construct the collaborative knowledge graph from train CF + KG."""
-        return build_ckg(
+    def build(self, *, edge_block: int = 2048, rel_block: int = 1024,
+              cache_dir: "str | None" = None) -> Tuple[Graph, CKGMeta]:
+        """Construct the collaborative knowledge graph from train CF + KG.
+
+        cache_dir: if set, the built graph round-trips through
+        ``<cache_dir>/ckg-<contenthash>.npz`` (graph.save_graph) — repeated
+        runs on the same inputs skip the host build (the DGL-format-cache
+        analog, SURVEY.md §2.2 graph-index row).
+        """
+        if cache_dir is not None:
+            import hashlib
+
+            from kgat_tpu.graph import (GRAPH_CACHE_VERSION, load_graph,
+                                        save_graph)
+            h = hashlib.sha1()
+            h.update(np.ascontiguousarray(self.cf_train).tobytes())
+            h.update(np.ascontiguousarray(self.kg_triples).tobytes())
+            h.update(repr((self.n_users, self.n_entities, self.n_items,
+                           self.n_relations_kg, edge_block, rel_block,
+                           GRAPH_CACHE_VERSION)).encode())
+            path = os.path.join(cache_dir, f"ckg-{h.hexdigest()[:16]}.npz")
+            if os.path.exists(path):
+                try:
+                    g, meta = load_graph(path)
+                    if meta is not None:
+                        return g, meta
+                except (ValueError, KeyError, OSError):
+                    pass  # stale/corrupt cache: rebuild below
+        g, meta = build_ckg(
             self.cf_train, self.kg_triples,
             n_users=self.n_users, n_entities=self.n_entities,
             n_items=self.n_items, n_relations_kg=self.n_relations_kg,
             edge_block=edge_block, rel_block=rel_block,
         )
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            save_graph(path, g, meta)
+        return g, meta
 
 
 def _group_by_user(pairs: np.ndarray) -> Dict[int, np.ndarray]:

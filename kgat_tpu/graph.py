@@ -407,6 +407,115 @@ def build_graph(
     return g
 
 
+GRAPH_CACHE_VERSION = 1  # bump when the Graph/AlignedLayout schema changes
+
+
+def _layout_host_arrays(layout: "AlignedLayout", prefix: str) -> dict:
+    return {
+        f"{prefix}_gather": host_array(layout, "gather"),
+        f"{prefix}_node": host_array(layout, "node"),
+        f"{prefix}_seg": host_array(layout, "seg"),
+        f"{prefix}_bounds": np.asarray(layout.bounds),
+        f"{prefix}_chunk_block": np.asarray(layout.chunk_block),
+    }
+
+
+def _layout_from_arrays(z, prefix: str, statics: dict) -> "AlignedLayout":
+    arrs = {k: np.asarray(z[f"{prefix}_{k}"])
+            for k in ("gather", "node", "seg", "bounds", "chunk_block")}
+    layout = AlignedLayout(
+        gather=jnp.asarray(arrs["gather"]),
+        node=jnp.asarray(arrs["node"]),
+        seg=jnp.asarray(arrs["seg"]),
+        bounds=jnp.asarray(arrs["bounds"]),
+        chunk_block=jnp.asarray(arrs["chunk_block"]),
+        n_chunks=int(statics[f"{prefix}_n_chunks"]),
+        n_blocks=int(statics[f"{prefix}_n_blocks"]),
+        chunk_edges=int(statics[f"{prefix}_chunk_edges"]),
+    )
+    object.__setattr__(layout, "_host", {
+        "gather": arrs["gather"], "node": arrs["node"], "seg": arrs["seg"]})
+    return layout
+
+
+def save_graph(path: str, g: Graph, meta: "CKGMeta | None" = None) -> str:
+    """Serialize a built Graph (+ optional CKGMeta) to one ``.npz`` file.
+
+    The TPU-native analog of DGL's graph-format caching (SURVEY.md §2.2
+    graph-index row: DGL caches COO/CSR conversions in its C++ index; here
+    the whole built artifact — canonical arrays, both aligned layouts, the
+    cross-layout permutations, static metadata — round-trips through disk
+    so repeated runs on big datasets skip the host build entirely).
+    """
+    import json
+
+    statics = {
+        "version": GRAPH_CACHE_VERSION,
+        "n_nodes": g.n_nodes, "n_edges": g.n_edges,
+        "n_edges_pad": g.n_edges_pad, "n_relations": g.n_relations,
+        "rel_blocks": [list(b) for b in g.rel_blocks],
+    }
+    for prefix, layout in (("fwd", g.fwd_layout), ("rev", g.rev_layout)):
+        statics[f"{prefix}_n_chunks"] = layout.n_chunks
+        statics[f"{prefix}_n_blocks"] = layout.n_blocks
+        statics[f"{prefix}_chunk_edges"] = layout.chunk_edges
+    if meta is not None:
+        statics["meta"] = dataclasses.asdict(meta)
+    arrays = {
+        "src": host_array(g, "src"), "dst": host_array(g, "dst"),
+        "etype": host_array(g, "etype"),
+        "edge_mask": host_array(g, "edge_mask"),
+        "row_offsets": host_array(g, "row_offsets"),
+        "att_gather": host_array(g, "att_gather"),
+        "att_to_fwd": np.asarray(g.att_to_fwd),
+        "rev_from_fwd": np.asarray(g.rev_from_fwd),
+        **_layout_host_arrays(g.fwd_layout, "fwd"),
+        **_layout_host_arrays(g.rev_layout, "rev"),
+        "statics_json": np.frombuffer(
+            json.dumps(statics).encode(), dtype=np.uint8),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    import os
+    os.replace(tmp, path)
+    return path
+
+
+def load_graph(path: str) -> "Tuple[Graph, CKGMeta | None]":
+    """Load a Graph saved by :func:`save_graph`. Raises ValueError on a
+    schema-version mismatch (callers fall back to rebuilding)."""
+    import json
+
+    z = np.load(path)
+    statics = json.loads(bytes(np.asarray(z["statics_json"])).decode())
+    if statics.get("version") != GRAPH_CACHE_VERSION:
+        raise ValueError(f"graph cache version {statics.get('version')} != "
+                         f"{GRAPH_CACHE_VERSION}")
+    host = {k: np.asarray(z[k]) for k in
+            ("src", "dst", "etype", "edge_mask", "att_gather", "row_offsets")}
+    g = Graph(
+        src=jnp.asarray(host["src"]),
+        dst=jnp.asarray(host["dst"]),
+        etype=jnp.asarray(host["etype"]),
+        edge_mask=jnp.asarray(host["edge_mask"]),
+        row_offsets=jnp.asarray(host["row_offsets"]),
+        att_gather=jnp.asarray(host["att_gather"]),
+        fwd_layout=_layout_from_arrays(z, "fwd", statics),
+        rev_layout=_layout_from_arrays(z, "rev", statics),
+        att_to_fwd=jnp.asarray(np.asarray(z["att_to_fwd"])),
+        rev_from_fwd=jnp.asarray(np.asarray(z["rev_from_fwd"])),
+        n_nodes=int(statics["n_nodes"]),
+        n_edges=int(statics["n_edges"]),
+        n_edges_pad=int(statics["n_edges_pad"]),
+        n_relations=int(statics["n_relations"]),
+        rel_blocks=tuple(tuple(b) for b in statics["rel_blocks"]),
+    )
+    object.__setattr__(g, "_host", host)
+    meta = CKGMeta(**statics["meta"]) if "meta" in statics else None
+    return g, meta
+
+
 @dataclasses.dataclass(frozen=True)
 class CKGMeta:
     """Static description of a collaborative knowledge graph's id spaces."""

@@ -88,7 +88,7 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, dataset: Optional[Dataset] = None):
         self.cfg = cfg
         self.ds = dataset if dataset is not None else load_any_dataset(cfg)
-        self.graph, self.meta = self.ds.build()
+        self.graph, self.meta = self.ds.build(cache_dir=cfg.graph_cache)
         self.logger = RunLogger(cfg.log_dir, cfg.run_name, resume=cfg.resume)
         n_dev = len(jax.devices()) if cfg.n_devices == 0 else cfg.n_devices
         self.n_devices = n_dev

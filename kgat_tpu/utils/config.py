@@ -42,6 +42,7 @@ class TrainConfig:
     halo_exchange: str = "allgather"    # allgather | ring (overlapped)
     pretrain_path: Optional[str] = None  # npz with user_embed/item_embed
     profile_epochs: int = 0             # capture a jax.profiler trace
+    graph_cache: Optional[str] = None   # dir for built-graph npz cache
     # synthetic dataset scale (used when dataset == synthetic)
     syn_users: int = 300
     syn_items: int = 200
@@ -121,6 +122,9 @@ def parse_args(argv=None) -> TrainConfig:
                    help="npz with user_embed/item_embed (BPR-MF init)")
     p.add_argument("--profile-epochs", type=int, default=None,
                    help="capture a jax.profiler trace of the first N epochs")
+    p.add_argument("--graph-cache", default=None, metavar="DIR",
+                   help="cache built graphs as npz under DIR (skips the "
+                        "host-side build on repeated runs)")
     for f in ("users", "items", "entities", "relations", "interactions",
               "triples"):
         p.add_argument(f"--syn-{f}", type=int, default=None,
@@ -131,7 +135,8 @@ def parse_args(argv=None) -> TrainConfig:
     for field in ("dataset", "data_root", "lr", "cf_batch_size",
                   "kg_batch_size", "epochs", "eval_every", "stopping_steps",
                   "k", "seed", "sampler", "log_dir", "run_name", "n_devices",
-                  "halo_exchange", "pretrain_path", "profile_epochs", "syn_users",
+                  "halo_exchange", "pretrain_path", "profile_epochs",
+                  "graph_cache", "syn_users",
                   "syn_items", "syn_entities", "syn_relations",
                   "syn_interactions", "syn_triples"):
         v = getattr(a, field)

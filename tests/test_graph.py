@@ -65,3 +65,51 @@ def test_ckg_conventions():
     assert (3, 2, 0) in edges and (2, 3, 2) in edges
     # interaction (u=0 -> node 5, i=1): interact edge i->u, reverse u->i
     assert (1, 5, 4) in edges and (5, 1, 5) in edges
+
+
+def test_graph_cache_roundtrip(tmp_path):
+    """save_graph/load_graph + Dataset.build(cache_dir=...) must reproduce
+    the built Graph exactly (arrays, layouts, statics, meta)."""
+    import jax.numpy as jnp
+
+    from kgat_tpu.graph import load_graph, save_graph
+
+    ds = synthetic_dataset(seed=3, n_users=40, n_items=30, n_entities=60,
+                           n_relations_kg=4, n_interactions=300,
+                           n_triples=200)
+    g, meta = ds.build()
+    path = str(tmp_path / "g.npz")
+    save_graph(path, g, meta)
+    g2, meta2 = load_graph(path)
+    assert meta2 == meta
+    assert (g2.n_nodes, g2.n_edges, g2.n_edges_pad, g2.n_relations,
+            g2.rel_blocks) == (g.n_nodes, g.n_edges, g.n_edges_pad,
+                               g.n_relations, g.rel_blocks)
+    for f in ("src", "dst", "etype", "edge_mask", "row_offsets",
+              "att_gather", "att_to_fwd", "rev_from_fwd"):
+        np.testing.assert_array_equal(np.asarray(getattr(g2, f)),
+                                      np.asarray(getattr(g, f)), err_msg=f)
+    for pre in ("fwd_layout", "rev_layout"):
+        a, b = getattr(g, pre), getattr(g2, pre)
+        assert (a.n_chunks, a.n_blocks, a.chunk_edges) == \
+            (b.n_chunks, b.n_blocks, b.chunk_edges)
+        for f in ("gather", "node", "seg", "bounds", "chunk_block"):
+            np.testing.assert_array_equal(np.asarray(getattr(b, f)),
+                                          np.asarray(getattr(a, f)),
+                                          err_msg=f"{pre}.{f}")
+
+    # Dataset.build cache: second call hits the cache (same object content),
+    # and a changed dataset misses it (different hash -> rebuild).
+    cache = str(tmp_path / "cache")
+    g3, meta3 = ds.build(cache_dir=cache)
+    g4, meta4 = ds.build(cache_dir=cache)  # cache hit
+    assert meta3 == meta == meta4
+    np.testing.assert_array_equal(np.asarray(g4.dst), np.asarray(g3.dst))
+    import os
+    files = os.listdir(cache)
+    assert len(files) == 1
+    ds2 = synthetic_dataset(seed=4, n_users=40, n_items=30, n_entities=60,
+                            n_relations_kg=4, n_interactions=300,
+                            n_triples=200)
+    ds2.build(cache_dir=cache)
+    assert len(os.listdir(cache)) == 2
