@@ -94,15 +94,22 @@ class RingWeights:
 
 def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                      meta: CKGMeta, cfg: kgat.KGATConfig,
-                     exchange: str = "allgather", ring_buckets=None):
+                     exchange: str = "allgather", ring_buckets=None,
+                     sel_halo=None):
     """Build jitted partitioned attention / propagate / cf-step callables.
 
-    exchange: 'allgather' (dense-graph fast path: one activation
-    all-gather per layer) or 'ring' (the overlapped exchange: per-layer
-    ring of (bucket reduce, ppermute) steps — each device reduces the
-    edge bucket whose source chunk just arrived while the next chunk is in
-    flight; see partition.build_ring_buckets). 'ring' requires
-    ring_buckets.
+    exchange:
+      'allgather' — dense-graph fast path: one activation all-gather per
+        layer (bandwidth-optimal when every shard touches most rows).
+      'ring' — the overlapped exchange: per-layer ring of (bucket reduce,
+        ppermute) steps — each device reduces the edge bucket whose source
+        chunk just arrived while the next chunk is in flight; requires
+        ring_buckets (partition.build_ring_buckets).
+      'a2a' — selective halo all-to-all: each device ships exactly the
+        owned rows its peers' edges reference; activations live in a
+        (table_rows, d) LOCAL table, never replicated — the path for
+        tables too large to replicate; requires sel_halo
+        (partition.build_selective_halo).
     """
     N, n_pad, R = info.n_nodes_global, info.n_nodes_pad, info.rows_per_part
     nP = info.n_parts
@@ -110,32 +117,37 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
     if exchange == "ring" and ring_buckets is None:
         raise ValueError("exchange='ring' requires ring_buckets "
                          "(partition.build_ring_buckets)")
-    if exchange not in ("allgather", "ring"):
+    if exchange == "a2a" and sel_halo is None:
+        raise ValueError("exchange='a2a' requires sel_halo "
+                         "(partition.build_selective_halo)")
+    if exchange not in ("allgather", "ring", "a2a"):
         raise ValueError(f"unknown exchange {exchange!r}")
     ring = exchange == "ring"
+    a2a = exchange == "a2a"
+    extra = ring_buckets if ring else (sel_halo if a2a else None)
 
-    def attention_inner(g_stack, params, *rb_stack):
+    def attention_inner(g_stack, params, *ex_stack):
         g = _local(g_stack)
         att = jax.lax.stop_gradient(kgat.compute_attention(params, g, cfg))
-        if ring:
-            rb = _local(rb_stack[0])
+        if ring or a2a:
+            ex = _local(ex_stack[0])
             wm = att * g.edge_mask
             if cfg.compute_dtype is not None:
                 wm = wm.astype(cfg.compute_dtype)
-            ew = RingWeights(fwd=wm[rb.fwd.gather], rev=wm[rb.rev.gather])
+            ew = RingWeights(fwd=wm[ex.fwd.gather], rev=wm[ex.rev.gather])
         else:
             ew = pb.prepare_weights(g, att, dtype=cfg.compute_dtype)
         return jax.tree.map(lambda a: a[None], (att, ew))
 
-    att_in_specs = (P(AXIS), P()) + ((P(AXIS),) if ring else ())
+    att_in_specs = (P(AXIS), P()) + ((P(AXIS),) if extra is not None else ())
     attention = jax.jit(jax.shard_map(
         attention_inner, mesh=mesh,
         in_specs=att_in_specs, out_specs=P(AXIS),
         check_vma=False))
-    if ring:
+    if extra is not None:
         _attention = attention
         attention = lambda g_stack, params: _attention(  # noqa: E731
-            g_stack, params, ring_buckets)
+            g_stack, params, extra)
 
     def _ring_side(rb, ew, chunk):
         """One layer's ring exchange: statically unrolled (reduce, permute)
@@ -150,20 +162,38 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                 chunk = jax.lax.ppermute(chunk, AXIS, perm)
         return side
 
+    def _a2a_table(sh, ego):
+        """Selective exchange: ship exactly the rows each peer needs, then
+        assemble the (T, d) local feature table [own | halo | pad]."""
+        send = ego[sh.send_idx]                        # (P, H, d)
+        recv = jax.lax.all_to_all(send, AXIS, 0, 0)    # block q <- peer q
+        halo = recv.reshape(nP * sh.halo_rows, ego.shape[-1])
+        return jnp.concatenate([ego, halo])
+
     def propagate_inner(g_stack, ew_stack, params, rng, train: bool,
                         rb_stack=None):
         g = _local(g_stack)
         ew = _local(ew_stack)
-        rb = _local(rb_stack) if ring else None
+        ex = _local(rb_stack) if (ring or a2a) else None
         p_idx = jax.lax.axis_index(AXIS)
         ego_g = params["entity_embed"]
         x = jnp.pad(ego_g, ((0, n_pad - N), (0, 0)))
-        ego = jax.lax.dynamic_slice(x, (p_idx * R, 0), (R, x.shape[1]))
-        outs_own = [ego] if ring else None
+        if a2a:
+            # Layer-0 features come straight off the replicated embedding
+            # table (no comm); sentinel slots clamp to an arbitrary row —
+            # every aligned position referencing them carries weight 0.
+            local_x = x[jnp.minimum(ex.local_ids, n_pad - 1)]
+            ego = local_x[:R]
+        else:
+            ego = jax.lax.dynamic_slice(x, (p_idx * R, 0), (R, x.shape[1]))
+        outs_own = [ego] if (ring or a2a) else None
         outs = [ego_g]
+        n_layers = len(params["layers"])
         for li, layer in enumerate(params["layers"]):
             if ring:
-                side = _ring_side(rb, ew, ego)
+                side = _ring_side(ex, ew, ego)
+            elif a2a:
+                side = pspmm(ew.fwd, ew.rev, local_x, ex.fwd, ex.rev)
             else:
                 side = pspmm(ew.fwd, ew.rev, x, g.fwd_layout, g.rev_layout)
                 ego = jax.lax.dynamic_slice(x, (p_idx * R, 0),
@@ -184,19 +214,21 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                 keep = 1.0 - cfg.mess_dropout[li]
                 m = jax.random.bernoulli(sub, keep, ego.shape)
                 ego = jnp.where(m, ego / keep, 0.0)
-            if ring:
+            if ring or a2a:
                 # Rows stay owned; normalization is row-local. ONE final
                 # all-gather of the concat representation replaces the
                 # per-layer gathers of the dense path.
                 outs_own.append(ego / jnp.sqrt(jnp.maximum(
                     jnp.sum(ego ** 2, -1, keepdims=True), 1e-12)))
+                if a2a and li < n_layers - 1:
+                    local_x = _a2a_table(ex, ego)
             else:
                 # One all-gather per layer: boundary embeddings ride ICI.
                 x = jax.lax.all_gather(ego, AXIS, tiled=True)   # (n_pad, d)
                 norm = x[:N] / jnp.sqrt(jnp.maximum(
                     jnp.sum(x[:N] ** 2, -1, keepdims=True), 1e-12))
                 outs.append(norm)
-        if ring:
+        if ring or a2a:
             own = jnp.concatenate(outs_own, axis=-1)            # (R, D)
             full = jax.lax.all_gather(own, AXIS, tiled=True)    # (n_pad, D)
             return full[:N]
@@ -222,14 +254,14 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
     def cf_loss_smapped(params, ew_stack, u, ip, ineg, w, rng):
         specs = (P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS),
                  P(AXIS), P(AXIS), P())
-        if ring:
+        if extra is not None:
             smapped = jax.shard_map(
                 lambda g, e, p, uu, pp, nn, ww, rr, rb: cf_loss_inner(
                     g, e, p, uu, pp, nn, ww, rr, rb_stack=rb),
                 mesh=mesh, in_specs=specs + (P(AXIS),), out_specs=P(),
                 check_vma=False)
             return smapped(pgraph, ew_stack, params, u, ip, ineg, w, rng,
-                           ring_buckets)
+                           extra)
         smapped = jax.shard_map(
             cf_loss_inner, mesh=mesh,
             in_specs=specs, out_specs=P(), check_vma=False)
@@ -275,13 +307,13 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         return scan
 
     def propagate_eval(ew_stack, params):
-        if ring:
+        if extra is not None:
             smapped = jax.shard_map(
                 lambda g, e, p, rb: propagate_inner(g, e, p, None, False,
                                                     rb_stack=rb),
                 mesh=mesh, in_specs=(P(AXIS), P(AXIS), P(), P(AXIS)),
                 out_specs=P(), check_vma=False)
-            return smapped(pgraph, ew_stack, params, ring_buckets)
+            return smapped(pgraph, ew_stack, params, extra)
         smapped = jax.shard_map(
             lambda g, e, p: propagate_inner(g, e, p, None, False),
             mesh=mesh, in_specs=(P(AXIS), P(AXIS), P()), out_specs=P(),

@@ -160,6 +160,131 @@ def build_ring_buckets(src: np.ndarray, dst: np.ndarray,
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_shard)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SelectiveHalo:
+    """Static data for the selective halo all-to-all exchange.
+
+    The refinement of the dense all-gather for tables too large to
+    replicate (SURVEY.md §2.3 SP/CP row, ROADMAP): instead of gathering
+    every shard's full activation block, each device ships exactly the
+    owned rows its peers' edges reference. Per shard:
+
+      send_idx   (P, H) int32  local rows THIS device sends to peer p
+                               (padded with 0 — receivers never index pad
+                               slots, their edge weights are 0)
+      local_ids  (T,)  int32   global node id of each local-table slot:
+                               [own rows | halo rows from peer 0.. | pad];
+                               layer-0 features gather through this from
+                               the replicated embedding table (no comm)
+      fwd / rev  AlignedLayouts over LOCAL-TABLE coordinates: fwd segments
+                               are local dst rows (0..R), fwd/rev node ids
+                               index the (T,) local table; gather maps
+                               aligned positions -> shard-canonical edge
+                               slots (attention-weight staging)
+
+    H and T are shard-uniform (max over shards, rounded so T is a multiple
+    of 128 and equals rev.n_blocks * 128 — the custom-VJP cotangent of the
+    local table must match its primal shape).
+    """
+
+    send_idx: jax.Array
+    local_ids: jax.Array
+    fwd: "AlignedLayout"
+    rev: "AlignedLayout"
+    halo_rows: int = dataclasses.field(metadata=dict(static=True))   # H
+    table_rows: int = dataclasses.field(metadata=dict(static=True))  # T
+
+
+def build_selective_halo(src: np.ndarray, dst: np.ndarray,
+                         info: PartitionInfo, mesh=None) -> SelectiveHalo:
+    """Build per-shard selective-exchange metadata (see SelectiveHalo).
+
+    Must be called with the same (src, dst) arrays as
+    :func:`partition_graph`; layout gathers index each shard's canonical
+    (local-dst stable sorted) edge slots, like build_ring_buckets.
+    """
+    from kgat_tpu.graph import _build_aligned_layout, _stable_sort_perm
+
+    P, R = info.n_parts, info.rows_per_part
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+
+    # Pass 1: shard-canonical edge arrays + per-(shard, peer) needed rows.
+    shard_edges = []
+    need = []               # need[p][q]: sorted global rows of peer q
+    H = 1
+    for p in range(P):
+        sel = (dst >= p * R) & (dst < (p + 1) * R)
+        s_src, s_dst = src[sel], dst[sel] - p * R
+        order = _stable_sort_perm(s_dst, R)
+        s_src, s_dst = s_src[order], s_dst[order]
+        shard_edges.append((s_src, s_dst))
+        per_peer = []
+        for q in range(P):
+            rows = np.unique(s_src[(s_src // R) == q]) if len(s_src) \
+                else np.zeros(0, np.int64)
+            if q == p:
+                rows = rows[:0]      # own rows are local already
+            per_peer.append(rows)
+            H = max(H, len(rows))
+        need.append(per_peer)
+    H = _round_up(H, ALIGN_BLOCK_ROWS)          # keep T a multiple of 128
+    T = R + P * H                                # local-table rows
+
+    # Pass 2: chunk budgets (shard-uniform static shapes).
+    def _local_table_ids(p):
+        """Map each of shard p's edge srcs to its local-table slot."""
+        s_src = shard_edges[p][0]
+        out = np.zeros(len(s_src), np.int64)
+        for q in range(P):
+            m = (s_src // R) == q
+            if q == p:
+                out[m] = s_src[m] - p * R
+            elif m.any():
+                pos = np.searchsorted(need[p][q], s_src[m])
+                out[m] = R + q * H + pos
+        return out
+
+    fwd_need = rev_need = 1
+    locs = [_local_table_ids(p) for p in range(P)]
+    for p in range(P):
+        s_dst = shard_edges[p][1]
+        fwd_need = max(fwd_need, _needed_chunks(s_dst, R))
+        rev_need = max(rev_need, _needed_chunks(locs[p], T))
+
+    # Pass 3: per-shard arrays + layouts.
+    per_shard = []
+    for p in range(P):
+        s_src, s_dst = shard_edges[p]
+        n_e = len(s_src)
+        dead = n_e
+        send_idx = np.zeros((P, H), np.int32)
+        for q in range(P):
+            # Rows THIS shard (p) must send to peer q = rows of p that q
+            # needs.
+            rows = need[q][p]
+            send_idx[q, : len(rows)] = (rows - p * R).astype(np.int32)
+        local_ids = np.full(T, info.n_nodes_global, np.int64)
+        local_ids[:R] = np.arange(p * R, (p + 1) * R)
+        for q in range(P):
+            rows = need[p][q]
+            local_ids[R + q * H: R + q * H + len(rows)] = rows
+        fwd = _build_aligned_layout(
+            s_dst, locs[p], R, dead, order=np.arange(n_e, dtype=np.int64),
+            force_chunks=fwd_need)
+        rev = _build_aligned_layout(locs[p], s_dst, T, dead,
+                                    force_chunks=rev_need)
+        per_shard.append(SelectiveHalo(
+            send_idx=jnp.asarray(send_idx),
+            local_ids=jnp.asarray(local_ids.astype(np.int32)),
+            fwd=fwd, rev=rev, halo_rows=H, table_rows=T))
+    if mesh is not None:
+        from kgat_tpu.parallel.multihost import stack_pytrees
+        return stack_pytrees(per_shard, mesh, axis=mesh.axis_names[0])
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_shard)
+
+
 def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
                     n_nodes: int, n_relations: int, n_parts: int,
                     mesh=None,

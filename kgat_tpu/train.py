@@ -248,15 +248,19 @@ class Trainer:
         self.pgraph, self.pinfo = partition_graph(
             src, dst, ety, meta.n_nodes, meta.n_relations, self.n_devices,
             mesh=self.mesh)
-        ring_buckets = None
+        ring_buckets = sel_halo = None
         if cfg.halo_exchange == "ring":
             from kgat_tpu.parallel.partition import build_ring_buckets
             ring_buckets = build_ring_buckets(src, dst, self.pinfo,
                                               mesh=self.mesh)
+        elif cfg.halo_exchange == "a2a":
+            from kgat_tpu.parallel.partition import build_selective_halo
+            sel_halo = build_selective_halo(src, dst, self.pinfo,
+                                            mesh=self.mesh)
         attention_p, propagate_eval_p, _make_cf_step, make_cf_scan = \
             make_partitioned(self.mesh, self.pgraph, self.pinfo, meta,
                              cfg.model, exchange=cfg.halo_exchange,
-                             ring_buckets=ring_buckets)
+                             ring_buckets=ring_buckets, sel_halo=sel_halo)
         self._attention = lambda params: attention_p(self.pgraph, params)[1]
         self._propagate_eval = propagate_eval_p
         # batch sizes must divide the device count

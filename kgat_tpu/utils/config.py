@@ -114,10 +114,11 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--n-devices", type=int, default=None,
                    help="devices for edge-partitioned training; 0 = all")
     p.add_argument("--halo-exchange", default=None,
-                   choices=["allgather", "ring"],
+                   choices=["allgather", "ring", "a2a"],
                    help="partitioned boundary exchange: per-layer "
-                        "all-gather (dense fast path) or the overlapped "
-                        "ring of bucket reduces")
+                        "all-gather (dense fast path), the overlapped "
+                        "ring of bucket reduces, or selective halo "
+                        "all-to-all (tables too large to replicate)")
     p.add_argument("--use-pretrain", dest="pretrain_path", default=None,
                    help="npz with user_embed/item_embed (BPR-MF init)")
     p.add_argument("--profile-epochs", type=int, default=None,

@@ -210,7 +210,7 @@ def test_partitioned_scan_matches_per_step(setup):
                                np.asarray(p2["entity_embed"]), atol=2e-6)
 
 
-@pytest.mark.parametrize("exchange", ["allgather", "ring"])
+@pytest.mark.parametrize("exchange", ["allgather", "ring", "a2a"])
 def test_partitioned_trainer_e2e(tmp_path, exchange):
     """Config 5's shape: multi-device trainer with edge-partitioned CF
     phase + DP KG phase, driven end-to-end for two epochs."""
@@ -236,3 +236,58 @@ def test_partitioned_trainer_e2e(tmp_path, exchange):
     assert cf2 < cf1 and kg2 < kg1
     m = tr.evaluate()
     assert 0 <= m["recall"] <= 1
+
+
+def test_selective_halo_matches_single(setup):
+    """The selective halo all-to-all (exchange='a2a') must reproduce
+    single-device propagation and the CF step: activations live in a
+    bounded local table (own + halo rows), never replicated — the path
+    for embedding tables too large to replicate (SURVEY §2.3 SP/CP row,
+    ROADMAP 'selective halo')."""
+    from kgat_tpu.graph import host_coo
+    from kgat_tpu.parallel.partition import build_selective_halo
+
+    g, meta, mesh, pg, info, cfg, params = setup
+    coo = host_coo(g)
+    sh = build_selective_halo(coo["src"], coo["dst"], info)
+
+    att_s = kgat.compute_attention(params, g, cfg)
+    emb_s = kgat.propagate(params, g, att_s, cfg)
+
+    attention, propagate_eval, make_cf_step, _ = make_partitioned(
+        mesh, pg, info, meta, cfg, exchange="a2a", sel_halo=sh)
+    _, sw = attention(pg, params)
+    emb_p = propagate_eval(sw, params)
+    np.testing.assert_allclose(np.asarray(emb_p), np.asarray(emb_s),
+                               rtol=1e-4, atol=1e-4)
+
+    # CF step parity (dropout off for determinism).
+    cfg0 = KGATConfig(ops_backend="ref", mess_dropout=(0.0, 0.0, 0.0))
+    attention0, _, make_cf_step0, _ = make_partitioned(
+        mesh, pg, info, meta, cfg0, exchange="a2a", sel_halo=sh)
+    _, sw0 = attention0(pg, params)
+    opt = optax.adam(1e-3)
+    B = 32
+    u = jnp.arange(B, dtype=jnp.int32) % meta.n_users
+    ip = jnp.arange(B, dtype=jnp.int32) % meta.n_items
+    ineg = (jnp.arange(B, dtype=jnp.int32) + 3) % meta.n_items
+    w = jnp.ones(B)
+    rng = jax.random.key(9)
+    step = make_cf_step0(opt)
+    p_p, _, loss_p = step(jax.tree.map(jnp.copy, params),
+                          opt.init(params), sw0, u, ip, ineg, w, rng)
+
+    att0 = kgat.compute_attention(params, g, cfg0)
+
+    @jax.jit
+    def single(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: kgat.cf_loss(p, g, att0, meta, u, ip, ineg, cfg0,
+                                   rng=rng, train=True, weight=w))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), loss
+
+    p_s, loss_s = single(jax.tree.map(jnp.copy, params), opt.init(params))
+    np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_p["entity_embed"]),
+                               np.asarray(p_s["entity_embed"]), atol=2e-5)

@@ -99,11 +99,15 @@ def main() -> int:
                                mesh=mesh)
     emb_s = np.asarray(kgat.propagate(
         params, g, jnp.asarray(att_ref), cfg_ref))
-    for exchange in ("allgather", "ring"):
+    from kgat_tpu.parallel.partition import build_selective_halo
+    for exchange in ("allgather", "ring", "a2a"):
         rb = (build_ring_buckets(coo["src"], coo["dst"], info, mesh=mesh)
               if exchange == "ring" else None)
+        sh = (build_selective_halo(coo["src"], coo["dst"], info, mesh=mesh)
+              if exchange == "a2a" else None)
         attention, propagate_eval, _, _ = make_partitioned(
-            mesh, pg, info, meta, cfg, exchange=exchange, ring_buckets=rb)
+            mesh, pg, info, meta, cfg, exchange=exchange, ring_buckets=rb,
+            sel_halo=sh)
         _, ew = attention(pg, params)
         emb_p = np.asarray(propagate_eval(ew, params))
         np.testing.assert_allclose(emb_p, emb_s, rtol=1e-3, atol=1e-3)
