@@ -32,3 +32,39 @@ def test_pretrain_rows_placed(tiny_dataset, tmp_path, rng):
         emb[ds.n_entities: ds.n_entities + ds.n_users], ue)
     # Non-item entities stay randomly initialized (not zero, not pretrain).
     assert np.abs(emb[ds.n_items: ds.n_entities]).sum() > 0
+
+
+def test_bprmf_pretrainer_end_to_end(tiny_dataset, tmp_path):
+    """The in-framework BPR-MF pretrainer must converge and produce an npz
+    that --use-pretrain loads verbatim (closing the reference's pretrain
+    workflow: SURVEY.md §2.1 pretrain-loader row)."""
+    import numpy as np
+
+    from kgat_tpu.models import bprmf, kgat
+    from kgat_tpu.models.kgat import KGATConfig
+
+    ds = tiny_dataset
+    losses = []
+    embeds = bprmf.train_bprmf(ds.cf_train, ds.n_users, ds.n_items,
+                               dim=16, epochs=8, batch_size=64,
+                               log=lambda e, l: losses.append(l))
+    assert losses[-1] < losses[0] < 0.75     # starts near ln2, decreases
+    assert embeds["user_embed"].shape == (ds.n_users, 16)
+    assert embeds["item_embed"].shape == (ds.n_items, 16)
+
+    path = str(tmp_path / "mf.npz")
+    bprmf.save_pretrain(path, embeds)
+    z = np.load(path)
+    g, meta = ds.build()
+    import jax
+    params = kgat.init_params(
+        jax.random.key(0), meta.n_nodes, meta.n_relations,
+        KGATConfig(embed_dim=16, conv_dims=(8,), mess_dropout=(0.1,)),
+        pretrain=(z["user_embed"], z["item_embed"], meta.n_entities))
+    np.testing.assert_allclose(
+        np.asarray(params["entity_embed"][: ds.n_items]), z["item_embed"],
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["entity_embed"][meta.n_entities:
+                                          meta.n_entities + ds.n_users]),
+        z["user_embed"], atol=1e-6)
