@@ -203,7 +203,11 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
         by_other = order[np.argsort(other[order], kind="stable")]
         order = by_other[_stable_sort_perm(seg[by_other], n_nodes)]
     seg_sorted = seg[order]
-    ro = np.searchsorted(seg_sorted, np.arange(n_nodes + 1)).astype(np.int64)
+    if _native is not None and n_nodes < 2**31 - 1:
+        ro = _native.csr_offsets(seg_sorted, n_nodes)
+    else:
+        ro = np.searchsorted(seg_sorted,
+                             np.arange(n_nodes + 1)).astype(np.int64)
 
     n_blocks = -(-n_nodes // B)
     blk_lo = ro[np.minimum(np.arange(n_blocks) * B, n_nodes)]
@@ -214,32 +218,40 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
     blk_pad = (-(-blk_cnt // ALIGN)) * ALIGN
     blk_start = np.concatenate([[0], np.cumsum(blk_pad)])
     e_al = int(blk_start[-1])
-
-    gather = np.full(e_al, dead_slot, np.int64)
-    for b in range(n_blocks):
-        s, c = blk_start[b], blk_cnt[b]
-        gather[s: s + c] = order[blk_lo[b]: blk_hi[b]]
-
-    # Per-row aligned-coordinate bounds.
-    rows = np.arange(n_nodes)
-    row_block = rows // B
-    lo = blk_start[row_block] + (ro[rows] - blk_lo[row_block])
-    hi = lo + (ro[rows + 1] - ro[rows])
-    lo_f = np.zeros(n_blocks * B, np.int64)
-    hi_f = np.zeros(n_blocks * B, np.int64)
-    lo_f[:n_nodes] = lo
-    hi_f[:n_nodes] = hi
-    bounds = np.zeros((n_blocks, B, 8), np.int32)
-    bounds[:, :, 0] = lo_f.reshape(n_blocks, B)
-    bounds[:, :, 1] = hi_f.reshape(n_blocks, B)
-
-    chunk_block = np.repeat(np.arange(n_blocks, dtype=np.int32),
-                            blk_pad // ALIGN)
+    n_chunks_req = e_al // ALIGN
     if force_chunks is not None:
-        if force_chunks < len(chunk_block):
+        if force_chunks < n_chunks_req:
             raise ValueError(f"force_chunks {force_chunks} < required "
-                             f"{len(chunk_block)}")
-        extra = force_chunks - len(chunk_block)
+                             f"{n_chunks_req}")
+        e_al = int(force_chunks) * ALIGN
+
+    if _native is not None:
+        # Single-pass C++ fill (DGL's native format-conversion analog).
+        gather32, node, seg_al, bounds, chunk_block = _native.aligned_fill(
+            order, seg, other, ro, blk_start, n_nodes, B, ALIGN,
+            dead_slot, e_al)
+    else:
+        gather = np.full(e_al, dead_slot, np.int64)
+        for b in range(n_blocks):
+            s, c = blk_start[b], blk_cnt[b]
+            gather[s: s + c] = order[blk_lo[b]: blk_hi[b]]
+
+        # Per-row aligned-coordinate bounds.
+        rows = np.arange(n_nodes)
+        row_block = rows // B
+        lo = blk_start[row_block] + (ro[rows] - blk_lo[row_block])
+        hi = lo + (ro[rows + 1] - ro[rows])
+        lo_f = np.zeros(n_blocks * B, np.int64)
+        hi_f = np.zeros(n_blocks * B, np.int64)
+        lo_f[:n_nodes] = lo
+        hi_f[:n_nodes] = hi
+        bounds = np.zeros((n_blocks, B, 8), np.int32)
+        bounds[:, :, 0] = lo_f.reshape(n_blocks, B)
+        bounds[:, :, 1] = hi_f.reshape(n_blocks, B)
+
+        chunk_block = np.repeat(np.arange(n_blocks, dtype=np.int32),
+                                blk_pad // ALIGN)
+        extra = e_al // ALIGN - len(chunk_block)
         if extra:
             # Dead trailing chunks: keep chunk_block monotone by pointing
             # them at the last block; their positions gather the dead slot.
@@ -247,18 +259,16 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
                 chunk_block,
                 np.full(extra, chunk_block[-1] if len(chunk_block)
                         else 0, np.int32)])
-            gather = np.concatenate([
-                gather, np.full(extra * ALIGN, dead_slot, np.int64)])
-            e_al = int(force_chunks) * ALIGN
-    if n_edges:
-        clamped = np.minimum(gather, n_edges - 1)
-        node = np.where(gather < n_edges, other[clamped], 0).astype(np.int32)
-        seg_al = np.where(gather < n_edges, seg[clamped], 0).astype(np.int32)
-    else:
-        node = np.zeros(len(gather), np.int32)
-        seg_al = np.zeros(len(gather), np.int32)
-
-    gather32 = gather.astype(np.int32)
+        if n_edges:
+            clamped = np.minimum(gather, n_edges - 1)
+            node = np.where(gather < n_edges, other[clamped],
+                            0).astype(np.int32)
+            seg_al = np.where(gather < n_edges, seg[clamped],
+                              0).astype(np.int32)
+        else:
+            node = np.zeros(len(gather), np.int32)
+            seg_al = np.zeros(len(gather), np.int32)
+        gather32 = gather.astype(np.int32)
     layout = AlignedLayout(
         gather=jnp.asarray(gather32),
         node=jnp.asarray(node),

@@ -53,6 +53,18 @@ _lib.kgat_csr_offsets.argtypes = [
     ctypes.POINTER(ctypes.c_int64)]
 
 
+_lib.kgat_aligned_fill.restype = None
+_lib.kgat_aligned_fill.argtypes = [
+    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_int64, ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ctypes.POINTER(ctypes.c_int32)]
+
+
 def _i64p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
@@ -100,3 +112,32 @@ def csr_offsets(sorted_keys: np.ndarray, n_segments: int) -> np.ndarray:
     _lib.kgat_csr_offsets(_i32p(sorted_keys), len(sorted_keys),
                           int(n_segments), _i64p(out))
     return out
+
+
+def aligned_fill(order: np.ndarray, seg: np.ndarray, other: np.ndarray,
+                 ro: np.ndarray, blk_start: np.ndarray, n_nodes: int,
+                 block_rows: int, chunk_edges: int, dead_slot: int,
+                 e_al: int):
+    """One-pass aligned-layout fill (the O(E) part of the layout build).
+
+    Returns (gather, node, seg_al, bounds, chunk_block) — identical to the
+    numpy path in kgat_tpu.graph._build_aligned_layout.
+    """
+    order = np.ascontiguousarray(order, np.int64)
+    seg = np.ascontiguousarray(seg, np.int64)
+    other = np.ascontiguousarray(other, np.int64)
+    ro = np.ascontiguousarray(ro, np.int64)
+    blk_start = np.ascontiguousarray(blk_start, np.int64)
+    n_blocks = len(blk_start) - 1
+    gather = np.empty(e_al, np.int32)
+    node = np.empty(e_al, np.int32)
+    seg_al = np.empty(e_al, np.int32)
+    bounds = np.empty((n_blocks, block_rows, 8), np.int32)
+    chunk_block = np.empty(e_al // chunk_edges, np.int32)
+    _lib.kgat_aligned_fill(
+        _i64p(order), _i64p(seg), _i64p(other), len(seg), _i64p(ro),
+        _i64p(blk_start), n_blocks, int(n_nodes), int(block_rows),
+        int(chunk_edges), int(dead_slot), int(e_al),
+        _i32p(gather), _i32p(node), _i32p(seg_al),
+        _i32p(bounds), _i32p(chunk_block))
+    return gather, node, seg_al, bounds, chunk_block

@@ -159,4 +159,80 @@ void kgat_csr_offsets(const int32_t* sorted_keys, int64_t n,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Block-aligned layout fill (the O(E) part of graph.py _build_aligned_layout,
+// DGL format-conversion analog): given the seg-sorted edge order, emit the
+// chunk-padded gather/node/seg arrays, per-row [lo, hi) bounds, and the
+// per-chunk block ids, in one pass each.
+//
+// Inputs:
+//   order (n_e)     seg-sorted (optionally two-key-sorted) canonical ids
+//   seg / other (n_e)  per CANONICAL edge
+//   n_nodes, B (=128), align (chunk edges), dead_slot, n_blocks
+//   blk_start (n_blocks+1)  aligned start offset of each block (precomputed
+//                           from the per-block counts by the caller)
+//   ro (n_nodes+1)  CSR offsets of seg over the sorted order
+//   e_al            total aligned positions (>= blk_start[n_blocks] when
+//                   force_chunks pads the tail)
+// Outputs: gather/node/seg_al (e_al) int32; bounds (n_blocks*B*8) int32;
+//          chunk_block (e_al/align) int32.
+void kgat_aligned_fill(const int64_t* order, const int64_t* seg,
+                       const int64_t* other, int64_t n_e,
+                       const int64_t* ro, const int64_t* blk_start,
+                       int64_t n_blocks, int64_t n_nodes, int64_t B,
+                       int64_t align, int64_t dead_slot, int64_t e_al,
+                       int32_t* gather, int32_t* node, int32_t* seg_al,
+                       int32_t* bounds, int32_t* chunk_block) {
+    const int64_t dead32 = dead_slot;
+    // gather: per block, the block's run of sorted canonical ids then dead
+    // padding up to the aligned block extent; trailing forced chunks dead.
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        int64_t s = blk_start[b];
+        int64_t lo = ro[b * B < n_nodes ? b * B : n_nodes];
+        int64_t hi = ro[(b + 1) * B < n_nodes ? (b + 1) * B : n_nodes];
+        int64_t c = hi - lo;
+        for (int64_t k = 0; k < c; ++k)
+            gather[s + k] = static_cast<int32_t>(order[lo + k]);
+        for (int64_t k = s + c; k < blk_start[b + 1]; ++k)
+            gather[k] = static_cast<int32_t>(dead32);
+    }
+    for (int64_t k = blk_start[n_blocks]; k < e_al; ++k)
+        gather[k] = static_cast<int32_t>(dead32);
+    // node/seg in aligned coordinates (dead positions -> 0).
+    for (int64_t k = 0; k < e_al; ++k) {
+        int64_t g = gather[k];
+        bool real = g < n_e;
+        node[k] = real ? static_cast<int32_t>(other[g]) : 0;
+        seg_al[k] = real ? static_cast<int32_t>(seg[g]) : 0;
+    }
+    // Per-row aligned [lo, hi) bounds, lane-minor 8-wide.
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        int64_t blk_lo = ro[b * B < n_nodes ? b * B : n_nodes];
+        for (int64_t rrow = 0; rrow < B; ++rrow) {
+            int64_t row = b * B + rrow;
+            int32_t* cell = bounds + (b * B + rrow) * 8;
+            if (row < n_nodes) {
+                int64_t lo = blk_start[b] + (ro[row] - blk_lo);
+                int64_t hi = lo + (ro[row + 1] - ro[row]);
+                cell[0] = static_cast<int32_t>(lo);
+                cell[1] = static_cast<int32_t>(hi);
+            } else {
+                cell[0] = 0;
+                cell[1] = 0;
+            }
+            for (int k = 2; k < 8; ++k) cell[k] = 0;
+        }
+    }
+    // Chunk -> block map; forced trailing chunks point at the last block.
+    int64_t n_chunks = e_al / align;
+    int64_t cpos = 0;
+    int32_t last_blk = 0;
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        int64_t nc = (blk_start[b + 1] - blk_start[b]) / align;
+        for (int64_t k = 0; k < nc; ++k) chunk_block[cpos++] = (int32_t)b;
+        if (nc > 0) last_blk = static_cast<int32_t>(b);
+    }
+    for (; cpos < n_chunks; ++cpos) chunk_block[cpos] = last_blk;
+}
+
 }  // extern "C"

@@ -50,3 +50,34 @@ def test_save_load_roundtrip(tmp_path, rng):
     assert tr1 == tr2
     np.testing.assert_array_equal(np.sort(ds2.kg_triples, axis=0),
                                   np.sort(ds.kg_triples, axis=0))
+
+
+def test_aligned_fill_matches_numpy(monkeypatch):
+    """The C++ aligned-layout fill must be bit-identical to the numpy
+    path (same gather/node/seg/bounds/chunk_block), incl. forced chunks."""
+    import numpy as np
+
+    import kgat_tpu.graph as G
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 300, 2500
+    seg = np.sort(rng.integers(0, n_nodes, n_edges)).astype(np.int64)
+    other = rng.integers(0, 500, n_edges).astype(np.int64)
+
+    def build(native: bool, force=None):
+        if not native:
+            monkeypatch.setattr(G, "_native", None)
+        else:
+            monkeypatch.undo()
+        return G._build_aligned_layout(seg, other, n_nodes, n_edges,
+                                       force_chunks=force, chunk_edges=256)
+
+    for force in (None, 64):
+        a = build(True, force)
+        b = build(False, force)
+        assert (a.n_chunks, a.n_blocks, a.chunk_edges) == \
+            (b.n_chunks, b.n_blocks, b.chunk_edges)
+        for f in ("gather", "node", "seg", "bounds", "chunk_block"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f"{f} force={force}")
