@@ -87,11 +87,13 @@ class Dataset:
                            GRAPH_CACHE_VERSION)).encode())
             path = os.path.join(cache_dir, f"ckg-{h.hexdigest()[:16]}.npz")
             if os.path.exists(path):
+                import zipfile
                 try:
                     g, meta = load_graph(path)
                     if meta is not None:
                         return g, meta
-                except (ValueError, KeyError, OSError):
+                except (ValueError, KeyError, OSError, EOFError,
+                        zipfile.BadZipFile):
                     pass  # stale/corrupt cache: rebuild below
         g, meta = build_ckg(
             self.cf_train, self.kg_triples,

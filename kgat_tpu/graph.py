@@ -281,7 +281,9 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
     )
     # Host mirrors (see host_array: D2H readback is pathological here).
     object.__setattr__(layout, "_host",
-                       {"gather": gather32, "node": node, "seg": seg_al})
+                       {"gather": gather32, "node": node, "seg": seg_al,
+                        "bounds": np.asarray(bounds),
+                        "chunk_block": np.asarray(chunk_block)})
     return layout
 
 
@@ -413,6 +415,8 @@ def build_graph(
     object.__setattr__(g, "_host", {
         "src": src_p, "dst": dst_p, "etype": ety_p, "edge_mask": mask,
         "att_gather": att_gather, "row_offsets": row_offsets,
+        "att_to_fwd": att_to_fwd.astype(np.int32),
+        "rev_from_fwd": rev_from_fwd.astype(np.int32),
     })
     return g
 
@@ -421,13 +425,10 @@ GRAPH_CACHE_VERSION = 1  # bump when the Graph/AlignedLayout schema changes
 
 
 def _layout_host_arrays(layout: "AlignedLayout", prefix: str) -> dict:
-    return {
-        f"{prefix}_gather": host_array(layout, "gather"),
-        f"{prefix}_node": host_array(layout, "node"),
-        f"{prefix}_seg": host_array(layout, "seg"),
-        f"{prefix}_bounds": np.asarray(layout.bounds),
-        f"{prefix}_chunk_block": np.asarray(layout.chunk_block),
-    }
+    # host_array everywhere: D2H readback through the TPU relay is
+    # pathological (see host_array docstring); builders mirror every field.
+    return {f"{prefix}_{f}": host_array(layout, f)
+            for f in ("gather", "node", "seg", "bounds", "chunk_block")}
 
 
 def _layout_from_arrays(z, prefix: str, statics: dict) -> "AlignedLayout":
@@ -443,8 +444,7 @@ def _layout_from_arrays(z, prefix: str, statics: dict) -> "AlignedLayout":
         n_blocks=int(statics[f"{prefix}_n_blocks"]),
         chunk_edges=int(statics[f"{prefix}_chunk_edges"]),
     )
-    object.__setattr__(layout, "_host", {
-        "gather": arrs["gather"], "node": arrs["node"], "seg": arrs["seg"]})
+    object.__setattr__(layout, "_host", arrs)
     return layout
 
 
@@ -477,18 +477,24 @@ def save_graph(path: str, g: Graph, meta: "CKGMeta | None" = None) -> str:
         "edge_mask": host_array(g, "edge_mask"),
         "row_offsets": host_array(g, "row_offsets"),
         "att_gather": host_array(g, "att_gather"),
-        "att_to_fwd": np.asarray(g.att_to_fwd),
-        "rev_from_fwd": np.asarray(g.rev_from_fwd),
+        "att_to_fwd": host_array(g, "att_to_fwd"),
+        "rev_from_fwd": host_array(g, "rev_from_fwd"),
         **_layout_host_arrays(g.fwd_layout, "fwd"),
         **_layout_host_arrays(g.rev_layout, "rev"),
         "statics_json": np.frombuffer(
             json.dumps(statics).encode(), dtype=np.uint8),
     }
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, **arrays)
     import os
-    os.replace(tmp, path)
+    # Unique tmp per writer: concurrent processes saving the same cache
+    # entry must not interleave into one torn file before os.replace.
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 
@@ -503,7 +509,8 @@ def load_graph(path: str) -> "Tuple[Graph, CKGMeta | None]":
         raise ValueError(f"graph cache version {statics.get('version')} != "
                          f"{GRAPH_CACHE_VERSION}")
     host = {k: np.asarray(z[k]) for k in
-            ("src", "dst", "etype", "edge_mask", "att_gather", "row_offsets")}
+            ("src", "dst", "etype", "edge_mask", "att_gather", "row_offsets",
+             "att_to_fwd", "rev_from_fwd")}
     g = Graph(
         src=jnp.asarray(host["src"]),
         dst=jnp.asarray(host["dst"]),

@@ -16,8 +16,6 @@ structure as the KGAT trainer's device-resident epochs.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,18 +81,18 @@ def train_bprmf(cf_train: np.ndarray, n_users: int, n_items: int, *,
     opt = optax.adam(lr)
     opt_state = opt.init(params)
     n_batches = max(len(cf_train) // batch_size + 1, 1)
-    scan = make_mf_scan(opt, table, batch_size)
     sizes = [chunk] * (n_batches // chunk)
     if n_batches % chunk:
         sizes.append(n_batches % chunk)
-    jitted = {s: jax.jit(functools.partial(scan), donate_argnums=(0, 1))
-              for s in set(sizes)}
+    # One jit suffices: it caches one executable per distinct chunk size.
+    jitted = jax.jit(make_mf_scan(opt, table, batch_size),
+                     donate_argnums=(0, 1))
     for epoch in range(1, epochs + 1):
         total = 0.0
         for s in sizes:
             rng, sub = jax.random.split(rng)
-            params, opt_state, m = jitted[s](params, opt_state,
-                                             jax.random.split(sub, s))
+            params, opt_state, m = jitted(params, opt_state,
+                                          jax.random.split(sub, s))
             total += float(m) * s
         if log is not None:
             log(epoch, total / n_batches)

@@ -39,7 +39,7 @@ class TrainConfig:
     ckpt_path: Optional[str] = None     # defaults to <log_dir>/<run_name>_best
     resume: bool = False
     n_devices: int = 1                  # >1/0: edge-partitioned over mesh
-    halo_exchange: str = "allgather"    # allgather | ring (overlapped)
+    halo_exchange: str = "allgather"    # allgather | ring | a2a
     pretrain_path: Optional[str] = None  # npz with user_embed/item_embed
     profile_epochs: int = 0             # capture a jax.profiler trace
     graph_cache: Optional[str] = None   # dir for built-graph npz cache
