@@ -165,12 +165,27 @@ def synthetic_dataset(
     n_triples: int = 1500,
     test_frac: float = 0.2,
     name: str = "synthetic",
+    n_factors: int = 32,
+    cf_affinity: float = 0.75,
+    kg_affinity: float = 0.75,
 ) -> Dataset:
     """Generate a structurally-faithful synthetic dataset.
 
-    Item/entity popularity follows a Zipf-like law (as in real recsys data);
-    every user has at least one train and one test interaction so evaluation
-    is well-defined.
+    Item/entity popularity follows a Zipf-like law (as in real recsys
+    data), and interactions carry a LATENT-FACTOR signal: every entity
+    (items included) belongs to one of ``n_factors`` clusters, each user
+    prefers one cluster, and a ``cf_affinity`` fraction of each user's
+    interactions are drawn from their preferred cluster (the rest from
+    global popularity). KG triples are intra-cluster with probability
+    ``kg_affinity``, so the knowledge graph genuinely links items that
+    co-occur in preferences — the structure KGAT's attentive propagation
+    is designed to exploit (KGAT paper §1's premise). With
+    ``cf_affinity=0`` interactions are pure popularity draws and the
+    recall ceiling collapses to the popularity baseline; the default makes
+    held-out items predictable from train history + KG, so
+    epochs-to-recall trajectories measure real collaborative learning.
+    Every user has at least one train and one test interaction so
+    evaluation is well-defined.
     """
     rng = np.random.default_rng(seed)
     assert n_entities >= n_items
@@ -180,11 +195,33 @@ def synthetic_dataset(
     item_p = rng.permutation(item_p)
     item_p /= item_p.sum()
 
+    # Latent clusters over ALL entities (items are entities [0, n_items)).
+    K = max(1, min(int(n_factors), n_items))
+    ent_cluster = rng.integers(0, K, size=n_entities)
+    user_cluster = rng.integers(0, K, size=n_users)
+
+    def draw_items(uids: np.ndarray) -> np.ndarray:
+        """Affinity mixture: preferred-cluster draw w.p. cf_affinity."""
+        n = len(uids)
+        out = rng.choice(n_items, size=n, p=item_p)     # popularity draws
+        use_aff = rng.random(n) < cf_affinity
+        for c in range(K):
+            m = use_aff & (user_cluster[uids] == c)
+            cnt = int(m.sum())
+            if cnt == 0:
+                continue
+            members = np.nonzero(ent_cluster[:n_items] == c)[0]
+            if len(members) == 0:
+                continue
+            pc = item_p[members] / item_p[members].sum()
+            out[m] = rng.choice(members, size=cnt, p=pc)
+        return out
+
     users = rng.integers(0, n_users, size=n_interactions)
-    items = rng.choice(n_items, size=n_interactions, p=item_p)
+    items = draw_items(users)
     # Guarantee >= 2 interactions per user (1 train + 1 test).
     base_u = np.repeat(np.arange(n_users), 2)
-    base_i = rng.choice(n_items, size=2 * n_users, p=item_p)
+    base_i = draw_items(base_u)
     users = np.concatenate([base_u, users])
     items = np.concatenate([base_i, items])
     pairs = np.unique(np.stack([users, items], axis=1), axis=0)
@@ -209,12 +246,30 @@ def synthetic_dataset(
     ent_p = 1.0 / (np.arange(n_entities) + 1.0)
     ent_p = rng.permutation(ent_p)
     ent_p /= ent_p.sum()
+
+    def draw_tails(heads: np.ndarray) -> np.ndarray:
+        """Tail w.p. kg_affinity from the head's cluster, else global."""
+        n = len(heads)
+        out = rng.choice(n_entities, size=n, p=ent_p)
+        use_aff = rng.random(n) < kg_affinity
+        for c in range(K):
+            m = use_aff & (ent_cluster[heads] == c)
+            cnt = int(m.sum())
+            if cnt == 0:
+                continue
+            members = np.nonzero(ent_cluster == c)[0]
+            if len(members) == 0:
+                continue
+            pc = ent_p[members] / ent_p[members].sum()
+            out[m] = rng.choice(members, size=cnt, p=pc)
+        return out
+
     h = rng.choice(n_entities, size=n_triples, p=ent_p)
-    t = rng.choice(n_entities, size=n_triples, p=ent_p)
+    t = draw_tails(h)
     r = rng.integers(0, n_relations_kg, size=n_triples)
     # Ensure every item appears in the KG (items are entities [0, n_items)).
     h = np.concatenate([h, np.arange(n_items)])
-    t = np.concatenate([t, rng.choice(n_entities, size=n_items, p=ent_p)])
+    t = np.concatenate([t, draw_tails(np.arange(n_items))])
     r = np.concatenate([r, rng.integers(0, n_relations_kg, size=n_items)])
     keep = h != t
     kg = np.unique(np.stack([h[keep], r[keep], t[keep]], axis=1), axis=0)
