@@ -36,7 +36,7 @@ interactions become two extra relations (interact / interacted-by).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -175,6 +175,20 @@ class AlignedLayout:
     n_blocks: int = dataclasses.field(metadata=dict(static=True))
     chunk_edges: int = dataclasses.field(default=ALIGN_CHUNK_EDGES,
                                          metadata=dict(static=True))
+    # Deinterleaved gather indices {pack: (pack, E_al/pack) int32}, row j =
+    # node[j::pack] made contiguous on the host. The packed SpMM path
+    # gathers features with these so each gather writes full-lane
+    # (E_al/pack, 128) rows directly — a *strided* device slice of `node`
+    # is ~8x slower, and gathering into half-lane (E_al, d) tiles plus the
+    # lane-repacking reshape costs more than the reduce kernel itself
+    # (measured on v5e at Yelp2018 scale; see ops/pallas/segment_sum.py).
+    node_t: Any = None
+
+
+def _deinterleave_node(node: np.ndarray) -> dict:
+    """Host-side contiguous deinterleave of the aligned gather indices."""
+    return {k: jnp.asarray(np.ascontiguousarray(node.reshape(-1, k).T))
+            for k in (2, 4, 8)}
 
 
 def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
@@ -278,6 +292,7 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
         n_chunks=int(len(chunk_block)),
         n_blocks=int(n_blocks),
         chunk_edges=int(ALIGN),
+        node_t=_deinterleave_node(np.asarray(node)),
     )
     # Host mirrors (see host_array: D2H readback is pathological here).
     object.__setattr__(layout, "_host",
@@ -443,6 +458,7 @@ def _layout_from_arrays(z, prefix: str, statics: dict) -> "AlignedLayout":
         n_chunks=int(statics[f"{prefix}_n_chunks"]),
         n_blocks=int(statics[f"{prefix}_n_blocks"]),
         chunk_edges=int(statics[f"{prefix}_chunk_edges"]),
+        node_t=_deinterleave_node(arrs["node"]),
     )
     object.__setattr__(layout, "_host", arrs)
     return layout

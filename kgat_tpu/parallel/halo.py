@@ -45,7 +45,7 @@ def _local(tree):
 # Pallas inside shard_map hangs on the CPU backend).
 # ---------------------------------------------------------------------------
 
-def _xla_reduce(layout, w_aligned, x, n_out):
+def _xla_reduce(layout, w_aligned, x, n_out, w_t=None):
     vals = x[layout.node] * w_aligned[:, None]
     # Dead positions carry w == 0 and seg == 0 (interspersed, so the ids
     # are not globally sorted).
@@ -55,21 +55,28 @@ def _xla_reduce(layout, w_aligned, x, n_out):
 def _make_pspmm(backend: str):
     reduce_ = pb._layout_reduce if backend == "pallas" else _xla_reduce
 
-    @jax.custom_vjp
-    def pspmm(w_fwd, w_rev, x, fwd_layout, rev_layout):
-        n_out = fwd_layout.n_blocks * ALIGN_BLOCK_ROWS
-        return reduce_(fwd_layout, w_fwd, x, n_out)
+    def _wt(ew_t, d):
+        pack = 128 // d if (d <= 128 and 128 % d == 0) else 1
+        return ew_t.get(pack) if isinstance(ew_t, dict) else None
 
-    def fwd(w_fwd, w_rev, x, fwd_layout, rev_layout):
-        return pspmm(w_fwd, w_rev, x, fwd_layout, rev_layout), \
-            (w_fwd, w_rev, x, fwd_layout, rev_layout)
+    @jax.custom_vjp
+    def pspmm(w_fwd, w_rev, w_fwd_t, w_rev_t, x, fwd_layout, rev_layout):
+        n_out = fwd_layout.n_blocks * ALIGN_BLOCK_ROWS
+        return reduce_(fwd_layout, w_fwd, x, n_out,
+                       w_t=_wt(w_fwd_t, x.shape[-1]))
+
+    def fwd(w_fwd, w_rev, w_fwd_t, w_rev_t, x, fwd_layout, rev_layout):
+        return pspmm(w_fwd, w_rev, w_fwd_t, w_rev_t, x, fwd_layout,
+                     rev_layout), \
+            (w_fwd, w_rev, w_rev_t, x, fwd_layout, rev_layout)
 
     def bwd(res, g):
-        w_fwd, w_rev, x, fwd_layout, rev_layout = res
+        w_fwd, w_rev, w_rev_t, x, fwd_layout, rev_layout = res
         d_w_fwd = jnp.sum(x[fwd_layout.node] * g[fwd_layout.seg], axis=-1)
         n_in = rev_layout.n_blocks * ALIGN_BLOCK_ROWS
-        d_x = reduce_(rev_layout, w_rev, g, n_in)
-        return (d_w_fwd, None, d_x, None, None)
+        d_x = reduce_(rev_layout, w_rev, g, n_in,
+                      w_t=_wt(w_rev_t, g.shape[-1]))
+        return (d_w_fwd, None, None, None, d_x, None, None)
 
     pspmm.defvjp(fwd, bwd)
     return pspmm
@@ -157,7 +164,8 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         for s in range(nP):
             fwdl = jax.tree.map(lambda a: a[s], rb.fwd)
             revl = jax.tree.map(lambda a: a[s], rb.rev)
-            side = side + pspmm(ew.fwd[s], ew.rev[s], chunk, fwdl, revl)
+            side = side + pspmm(ew.fwd[s], ew.rev[s], None, None, chunk,
+                                fwdl, revl)
             if s < nP - 1:
                 chunk = jax.lax.ppermute(chunk, AXIS, perm)
         return side
@@ -193,9 +201,11 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
             if ring:
                 side = _ring_side(ex, ew, ego)
             elif a2a:
-                side = pspmm(ew.fwd, ew.rev, local_x, ex.fwd, ex.rev)
+                side = pspmm(ew.fwd, ew.rev, None, None, local_x,
+                             ex.fwd, ex.rev)
             else:
-                side = pspmm(ew.fwd, ew.rev, x, g.fwd_layout, g.rev_layout)
+                side = pspmm(ew.fwd, ew.rev, ew.fwd_t, ew.rev_t, x,
+                             g.fwd_layout, g.rev_layout)
                 ego = jax.lax.dynamic_slice(x, (p_idx * R, 0),
                                             (R, x.shape[1]))
             slope = cfg.leaky_relu_slope

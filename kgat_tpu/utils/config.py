@@ -94,6 +94,10 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--mess-dropout", default=None, help="comma-separated")
     p.add_argument("--embed-dim", type=int, default=None)
     p.add_argument("--relation-dim", type=int, default=None)
+    p.add_argument("--reg-cf", type=float, default=None,
+                   help="L2 reg on CF embeddings (reference --regs[0])")
+    p.add_argument("--reg-kg", type=float, default=None,
+                   help="L2 reg on TransR triples (reference --regs[1])")
     p.add_argument("--ops-backend", default=None, choices=["ref", "pallas"])
     p.add_argument("--compute-dtype", default=None,
                    choices=["f32", "bf16"],
@@ -157,6 +161,10 @@ def parse_args(argv=None) -> TrainConfig:
         m["embed_dim"] = a.embed_dim
     if a.relation_dim:
         m["relation_dim"] = a.relation_dim
+    if a.reg_cf is not None:
+        m["reg_cf"] = a.reg_cf
+    if a.reg_kg is not None:
+        m["reg_kg"] = a.reg_kg
     if a.ops_backend:
         m["ops_backend"] = a.ops_backend
     if a.compute_dtype:
