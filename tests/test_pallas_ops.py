@@ -152,3 +152,27 @@ def test_fused_attention_pipeline_matches_ref(graph_meta):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got.rev), np.asarray(want.rev),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("d", [64, 32, 16, 128])
+def test_packed_reduce_matches_legacy(graph_meta, rng, d):
+    """segment_sum_packed (strip gathers + fused-w kernel) must equal the
+    legacy gather/multiply/repack pipeline for every pack width."""
+    from kgat_tpu.ops.pallas.segment_sum import (pack_gathered,
+                                                 segment_sum_aligned,
+                                                 segment_sum_packed)
+    g, meta = graph_meta
+    lay = g.fwd_layout
+    e_al = lay.n_chunks * lay.chunk_edges
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=e_al).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        want = segment_sum_aligned(x[lay.node] * w[:, None], lay, g.n_nodes)
+        pack = 128 // d
+        if pack == 1:
+            return  # packed path is the legacy path at d=128
+        w_t = w.reshape(-1, pack).T
+        got = segment_sum_packed(pack_gathered(x, lay, pack), w_t, lay,
+                                 g.n_nodes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
