@@ -171,8 +171,9 @@ def prepare_attention(graph: Graph, att: jax.Array, cfg: KGATConfig):
     """
     if cfg.ops_backend == "pallas":
         from kgat_tpu.ops import pallas_backend
-        return pallas_backend.prepare_weights(graph, att,
-                                              dtype=cfg.compute_dtype)
+        return pallas_backend.prepare_weights(
+            graph, att, dtype=cfg.compute_dtype,
+            packs=pallas_backend.packs_for(cfg))
     return att
 
 

@@ -87,20 +87,35 @@ class EdgeWeights:
     rev_t: object = None
 
 
-def _deinterleave_w(w_aligned: jax.Array) -> dict:
+DEFAULT_PACKS = (2, 4, 8)
+
+
+def packs_for(cfg) -> tuple:
+    """The pack widths the model's SpMM calls will actually request:
+    spmm at layer l runs on features of dim embed_dim (l=0) or
+    conv_dims[l-1]. Restricting staging to these skips dead per-epoch
+    deinterleave transposes (each is a ~20 MB relayout at Yelp scale)."""
+    dims = [cfg.embed_dim] + list(cfg.conv_dims[:-1])
+    return tuple(sorted({128 // d for d in dims
+                         if d < 128 and 128 % d == 0}))
+
+
+def _deinterleave_w(w_aligned: jax.Array,
+                    packs=DEFAULT_PACKS) -> dict:
     """{pack: (pack, E_al/pack) f32} — one-time per-epoch relayout."""
     w32 = w_aligned.astype(jnp.float32)
-    return {k: w32.reshape(-1, k).T for k in (2, 4, 8)}
+    return {k: w32.reshape(-1, k).T for k in packs}
 
 
 def prepare_weights(graph: Graph, edge_w: jax.Array,
-                    dtype=None) -> EdgeWeights:
+                    dtype=None, packs=DEFAULT_PACKS) -> EdgeWeights:
     """Stage canonical edge weights into both aligned layouts.
 
     dtype: optional weight dtype (bf16 halves the per-step weight stream
     and keeps the vals multiply in the low-precision domain — see spmm).
     Also precomputes the deinterleaved f32 forms the packed kernel wants;
     the transposes run once per epoch and amortize over every CF step.
+    packs: which pack widths to stage (see packs_for).
     """
     wm = edge_w * graph.edge_mask
     if dtype is not None:
@@ -108,8 +123,8 @@ def prepare_weights(graph: Graph, edge_w: jax.Array,
     fwd = wm[graph.fwd_layout.gather]
     rev = wm[graph.rev_layout.gather]
     return EdgeWeights(fwd=fwd, rev=rev,
-                       fwd_t=_deinterleave_w(fwd),
-                       rev_t=_deinterleave_w(rev))
+                       fwd_t=_deinterleave_w(fwd, packs),
+                       rev_t=_deinterleave_w(rev, packs))
 
 
 def _layout_reduce(layout, w_aligned, x, n_nodes,
@@ -234,9 +249,10 @@ def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:
     if getattr(cfg, "compute_dtype", None) is not None:
         w_fwd = w_fwd.astype(cfg.compute_dtype)
     w_rev = jnp.take(w_fwd, graph.rev_from_fwd, mode="fill", fill_value=0.0)
+    packs = packs_for(cfg) if hasattr(cfg, "conv_dims") else DEFAULT_PACKS
     return EdgeWeights(fwd=w_fwd, rev=w_rev,
-                       fwd_t=_deinterleave_w(w_fwd),
-                       rev_t=_deinterleave_w(w_rev))
+                       fwd_t=_deinterleave_w(w_fwd, packs),
+                       rev_t=_deinterleave_w(w_rev, packs))
 
 
 def _att_tile(graph: Graph) -> int:

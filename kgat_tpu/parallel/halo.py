@@ -143,7 +143,8 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                 wm = wm.astype(cfg.compute_dtype)
             ew = RingWeights(fwd=wm[ex.fwd.gather], rev=wm[ex.rev.gather])
         else:
-            ew = pb.prepare_weights(g, att, dtype=cfg.compute_dtype)
+            ew = pb.prepare_weights(g, att, dtype=cfg.compute_dtype,
+                                    packs=pb.packs_for(cfg))
         return jax.tree.map(lambda a: a[None], (att, ew))
 
     att_in_specs = (P(AXIS), P()) + ((P(AXIS),) if extra is not None else ())
