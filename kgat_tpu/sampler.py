@@ -94,6 +94,75 @@ def triple_member(sorted_a: jax.Array, sorted_b: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Segment-bounded membership: the sampler already knows each query's CSR
+# segment (the user's item run / the head's triple run), so the binary
+# search only needs log2(max segment) rounds over ONE (or two) key arrays
+# instead of log2(table) rounds over two (three). At Yelp2018 scale this
+# cut the device KG sampler from 17.7 ms to the low single digits — it was
+# ~85% of the whole KG train step (the binary-search rounds are serially
+# dependent scalar-gather waves; fewer x narrower rounds is the win).
+# ---------------------------------------------------------------------------
+
+def ranged_member(sorted_v: jax.Array, lo0: jax.Array, hi0: jax.Array,
+                  q: jax.Array, steps: int) -> jax.Array:
+    """True where q appears in sorted_v[lo0:hi0) (per-query bounds).
+
+    steps must be >= ceil(log2(max segment length + 1)) — pass the static
+    bound the table records at build time.
+    """
+    n = sorted_v.shape[0]
+    lo, hi = lo0, hi0
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        v = sorted_v[jnp.minimum(mid, n - 1)]
+        less = v < q
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, max(1, steps), body, (lo, hi))
+    return (lo < hi0) & (sorted_v[jnp.minimum(lo, n - 1)] == q)
+
+
+def ranged_member_pair(sorted_b: jax.Array, sorted_c: jax.Array,
+                       lo0: jax.Array, hi0: jax.Array, qb: jax.Array,
+                       qc: jax.Array, steps: int) -> jax.Array:
+    """True where (qb, qc) appears lex-sorted in rows [lo0:hi0)."""
+    n = sorted_b.shape[0]
+    lo, hi = lo0, hi0
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        midc = jnp.minimum(mid, n - 1)
+        b, c = sorted_b[midc], sorted_c[midc]
+        less = (b < qb) | ((b == qb) & (c < qc))
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, max(1, steps), body, (lo, hi))
+    lbc = jnp.minimum(lo, n - 1)
+    return (lo < hi0) & (sorted_b[lbc] == qb) & (sorted_c[lbc] == qc)
+
+
+def _auto_tries(p_max: float, floor: int = 4, cap: int = 16) -> int:
+    """Smallest try count keeping the all-tries-collide probability under
+    ~1e-9 at the worst query (p_max = max per-query collision odds). The
+    fixed 16 the tables used before is ~4x more membership volume than
+    reference-scale graphs need (p ~ 1e-3)."""
+    if p_max <= 0.0:
+        return floor
+    if p_max >= 1.0:
+        return cap
+    import math
+    t = int(np.ceil(-9.0 / math.log10(p_max)))
+    return int(min(max(t, floor), cap))
+
+
+def _log_steps(max_len: int) -> int:
+    return max(1, int(np.ceil(np.log2(max_len + 1))))
+
+
+# ---------------------------------------------------------------------------
 # Device-side CF sampler.
 # ---------------------------------------------------------------------------
 
@@ -108,15 +177,19 @@ class CFSampleTable:
     active_users: jax.Array  # (n_active,) users with >= 1 interaction
     n_items: int = dataclasses.field(metadata=dict(static=True))
     max_tries: int = dataclasses.field(default=16, metadata=dict(static=True))
+    max_deg: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @staticmethod
     def build(cf_train: np.ndarray, n_users: int, n_items: int,
-              max_tries: int = 16) -> "CFSampleTable":
+              max_tries: "int | None" = None) -> "CFSampleTable":
         pairs = np.asarray(cf_train, dtype=np.int64)
         order = np.lexsort((pairs[:, 1], pairs[:, 0]))
         pairs = pairs[order]
         user_ptr = np.searchsorted(pairs[:, 0], np.arange(n_users + 1))
         active = np.unique(pairs[:, 0])
+        max_deg = int(np.max(np.diff(user_ptr))) if len(pairs) else 0
+        if max_tries is None:
+            max_tries = _auto_tries(max_deg / max(n_items, 1))
         return CFSampleTable(
             users=jnp.asarray(pairs[:, 0], jnp.int32),
             items=jnp.asarray(pairs[:, 1], jnp.int32),
@@ -124,6 +197,7 @@ class CFSampleTable:
             active_users=jnp.asarray(active, jnp.int32),
             n_items=int(n_items),
             max_tries=int(max_tries),
+            max_deg=max_deg,
         )
 
 
@@ -146,11 +220,15 @@ def sample_cf_batch(table: CFSampleTable, rng: jax.Array, batch_size: int
     # All rejection tries at once: one (T*B)-wide membership query instead
     # of T dependent rounds (the sequential scan was a measured per-step
     # fixed cost at small batch sizes); taking the FIRST clean draw keeps
-    # the sequential-rejection distribution exactly.
+    # the sequential-rejection distribution exactly. The membership test
+    # is bounded to the user's own item run (lo/hi already in hand), so
+    # the search is log2(max user degree) rounds over one array.
     T = table.max_tries
     draws = jax.random.randint(r_neg, (T, batch_size), 0, table.n_items)
-    is_pos = pair_member(table.users, table.items,
-                         jnp.broadcast_to(u, (T, batch_size)), draws)
+    is_pos = ranged_member(table.items,
+                           jnp.broadcast_to(lo, (T, batch_size)),
+                           jnp.broadcast_to(hi, (T, batch_size)),
+                           draws, _log_steps(table.max_deg))
     ok = ~is_pos                                    # (T, B)
     first = jnp.argmax(ok, axis=0)                  # first clean try
     i_neg = draws[first, jnp.arange(batch_size)]
@@ -177,16 +255,30 @@ class KGSampleTable:
     h_sorted: jax.Array   # (n_kg,) int32, lex-sorted by (h, r, t)
     r_sorted: jax.Array
     t_sorted: jax.Array
+    h_ptr: jax.Array      # (n_entities + 1,) int32 CSR offsets by head
     n_entities: int = dataclasses.field(metadata=dict(static=True))
     n_relations: int = dataclasses.field(metadata=dict(static=True))
     max_tries: int = dataclasses.field(default=16, metadata=dict(static=True))
+    max_deg: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @staticmethod
     def build(triples: np.ndarray, n_entities: int, n_relations: int,
-              max_tries: int = 16) -> "KGSampleTable":
+              max_tries: "int | None" = None) -> "KGSampleTable":
         tr = np.asarray(triples, dtype=np.int64)
         order = np.lexsort((tr[:, 2], tr[:, 1], tr[:, 0]))
         srt = tr[order]
+        h_ptr = np.searchsorted(srt[:, 0], np.arange(n_entities + 1))
+        max_deg = int(np.max(np.diff(h_ptr))) if len(tr) else 0
+        if max_tries is None:
+            # Worst collision odds: the largest (h, r) group over the
+            # entity count (the draw collides only within the query's own
+            # (h, r) tail set).
+            if len(tr):
+                _, cnt = np.unique(srt[:, :2], axis=0, return_counts=True)
+                p = int(cnt.max()) / max(n_entities, 1)
+            else:
+                p = 0.0
+            max_tries = _auto_tries(p)
         return KGSampleTable(
             h=jnp.asarray(tr[:, 0], jnp.int32),
             r=jnp.asarray(tr[:, 1], jnp.int32),
@@ -194,9 +286,11 @@ class KGSampleTable:
             h_sorted=jnp.asarray(srt[:, 0], jnp.int32),
             r_sorted=jnp.asarray(srt[:, 1], jnp.int32),
             t_sorted=jnp.asarray(srt[:, 2], jnp.int32),
+            h_ptr=jnp.asarray(h_ptr, jnp.int32),
             n_entities=int(n_entities),
             n_relations=int(n_relations),
             max_tries=int(max_tries),
+            max_deg=max_deg,
         )
 
 
@@ -208,12 +302,17 @@ def sample_kg_batch(table: KGSampleTable, rng: jax.Array, batch_size: int
     h, r, t_pos = table.h[idx], table.r[idx], table.t[idx]
 
     # Vectorized rejection (see sample_cf_batch): one wide query, take the
-    # first clean draw per row.
+    # first clean draw per row. The membership test is bounded to the
+    # head's own triple run via h_ptr: log2(max head degree) rounds over
+    # the (r, t) keys instead of log2(n_kg) rounds over three.
     T = table.max_tries
     draws = jax.random.randint(r_neg, (T, batch_size), 0, table.n_entities)
-    exists = triple_member(table.h_sorted, table.r_sorted, table.t_sorted,
-                           jnp.broadcast_to(h, (T, batch_size)),
-                           jnp.broadcast_to(r, (T, batch_size)), draws)
+    lo, hi = table.h_ptr[h], table.h_ptr[h + 1]
+    exists = ranged_member_pair(table.r_sorted, table.t_sorted,
+                                jnp.broadcast_to(lo, (T, batch_size)),
+                                jnp.broadcast_to(hi, (T, batch_size)),
+                                jnp.broadcast_to(r, (T, batch_size)),
+                                draws, _log_steps(table.max_deg))
     ok = ~exists
     first = jnp.argmax(ok, axis=0)
     t_neg = draws[first, jnp.arange(batch_size)]
