@@ -64,3 +64,20 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     tr2.params, tr2.opt_state = p, o
     m = tr2.evaluate()
     np.testing.assert_allclose(m["recall"], meta["best_metric"], rtol=1e-5)
+
+
+def test_reg_flags_and_packs():
+    """--reg-cf/--reg-kg reach the model config (reference --regs parity);
+    packs_for stages exactly the pack widths the layer dims request."""
+    from kgat_tpu.ops.pallas_backend import packs_for
+    from kgat_tpu.utils.config import parse_args
+
+    cfg = parse_args(["--preset", "smoke-gcn", "--reg-cf", "3e-4",
+                      "--reg-kg", "2e-5"])
+    assert cfg.model.reg_cf == 3e-4 and cfg.model.reg_kg == 2e-5
+    # smoke-gcn: 1 conv layer, spmm only sees the 64-d embeddings.
+    assert packs_for(cfg.model) == (2,)
+    from kgat_tpu.models.kgat import KGATConfig
+    # default 3-layer config: spmm dims 64/64/32 -> packs {2, 4}.
+    assert packs_for(KGATConfig()) == (2, 4)
+
