@@ -148,7 +148,7 @@ def bench_backend(graph, meta, backend: str, batch: int, iters: int,
     }
 
 
-def roofline(graph, meta, res: dict):
+def roofline(graph, meta):
     """Speed-of-light analysis (SURVEY.md §5): measure the device's actual
     streaming/gather/matmul rates, then bound the SpMM pipeline.
 
@@ -181,8 +181,8 @@ def roofline(graph, meta, res: dict):
     nt = lay.node_t[128 // d]
     t_gather = median_time(
         jax.jit(lambda v, i: jnp.sum(jnp.concatenate(
-            [v[nt[j]] for j in range(128 // d)], axis=1
-        ).astype(jnp.float32)) * 1e-20 + i), x16, iters=5)
+            [(v + i * jnp.bfloat16(1e-30))[nt[j]] for j in range(128 // d)],
+            axis=1).astype(jnp.float32)) * 1e-20 + i), x16, iters=5)
     bytes_stream = e_al * d * 2
     bw_gather = bytes_stream / t_gather
 
@@ -199,7 +199,8 @@ def roofline(graph, meta, res: dict):
         graph, w_, dtype=jnp.bfloat16, packs=(128 // d,)))(w)
     jax.block_until_ready(ew)
     t_spmm = median_time(
-        jax.jit(lambda x_, i: jnp.sum(pb.spmm(graph, ew, x_)) * 1e-20 + i),
+        jax.jit(lambda x_, i: jnp.sum(pb.spmm(
+            graph, ew, x_ + i * jnp.bfloat16(1e-30))) * 1e-20 + i),
         x16, iters=8)
 
     floor_s = bytes_stream / bw_gather + bytes_stream / bw_seq
@@ -280,7 +281,7 @@ def main(argv=None):
         **ref_fields,
     }
     if a.roofline:
-        out.update(roofline(graph, meta, res))
+        out.update(roofline(graph, meta))
     print(json.dumps(out))
     return out
 

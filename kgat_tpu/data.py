@@ -268,8 +268,20 @@ def synthetic_dataset(
     t = draw_tails(h)
     r = rng.integers(0, n_relations_kg, size=n_triples)
     # Ensure every item appears in the KG (items are entities [0, n_items)).
-    h = np.concatenate([h, np.arange(n_items)])
-    t = np.concatenate([t, draw_tails(np.arange(n_items))])
+    # Intra-cluster coverage tails collide with their own head often enough
+    # (small clusters, Zipf-weighted draws) that a single draw + the
+    # `keep` filter below would silently drop the guaranteed row — redraw
+    # self-loops, with a guaranteed-distinct fallback.
+    cov_h = np.arange(n_items)
+    cov_t = draw_tails(cov_h)
+    for _ in range(4):
+        m = cov_t == cov_h
+        if not m.any():
+            break
+        cov_t[m] = draw_tails(cov_h[m])
+    cov_t = np.where(cov_t == cov_h, (cov_h + 1) % n_entities, cov_t)
+    h = np.concatenate([h, cov_h])
+    t = np.concatenate([t, cov_t])
     r = np.concatenate([r, rng.integers(0, n_relations_kg, size=n_items)])
     keep = h != t
     kg = np.unique(np.stack([h[keep], r[keep], t[keep]], axis=1), axis=0)

@@ -185,10 +185,14 @@ class AlignedLayout:
     node_t: Any = None
 
 
-def _deinterleave_node(node: np.ndarray) -> dict:
+DEFAULT_NODE_PACKS = (2, 4, 8)
+
+
+def _deinterleave_node(node: np.ndarray,
+                       packs=DEFAULT_NODE_PACKS) -> dict:
     """Host-side contiguous deinterleave of the aligned gather indices."""
     return {k: jnp.asarray(np.ascontiguousarray(node.reshape(-1, k).T))
-            for k in (2, 4, 8)}
+            for k in packs}
 
 
 def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
@@ -196,7 +200,8 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
                           order: np.ndarray | None = None,
                           force_chunks: int | None = None,
                           chunk_edges: int = ALIGN_CHUNK_EDGES,
-                          sort_within_seg: bool = True) -> AlignedLayout:
+                          sort_within_seg: bool = True,
+                          packs=DEFAULT_NODE_PACKS) -> AlignedLayout:
     """Host-side construction of an :class:`AlignedLayout`.
 
     seg/other: (n_edges,) segment id / other-endpoint per canonical edge;
@@ -292,7 +297,7 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
         n_chunks=int(len(chunk_block)),
         n_blocks=int(n_blocks),
         chunk_edges=int(ALIGN),
-        node_t=_deinterleave_node(np.asarray(node)),
+        node_t=_deinterleave_node(np.asarray(node), packs),
     )
     # Host mirrors (see host_array: D2H readback is pathological here).
     object.__setattr__(layout, "_host",

@@ -220,7 +220,6 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
                         n_segments: int,
                         *, precision=jax.lax.Precision.HIGHEST,
                         out_dtype=None,
-                        prepacked: bool = False,
                         interpret: bool = False) -> jax.Array:
     """Sum block-aligned `vals` into their segments. Returns (n_segments, d).
 
@@ -230,32 +229,18 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
     zeros (the gather of a masked pad edge guarantees this). bf16 vals
     halve the streaming DMA; accumulation is always f32 on the MXU.
 
-    prepacked: vals is already in the kernel's lane-packed (E_al/pack, 128)
-    form, row r lanes [j*d:(j+1)*d] = edge r*pack+j. Pass the output of
-    ``pack_aligned_vals`` here: building the packed form directly from
-    strided gathers skips the (E_al, d)->(E_al/pack, 128) reshape, which
-    is a full lane-relayout pass over half-lane-padded tiles (~7 ms at
-    Yelp scale, d=64 — as expensive as the reduce kernel itself).
+    This is the generic entry (any aligned values, e.g. mean reduces and
+    oracle tests). The hot SpMM path uses :func:`segment_sum_packed`
+    instead, which skips this function's (E_al, d)->(E_al/pack, 128)
+    repacking reshape — a full lane-relayout pass over half-lane-padded
+    tiles (~7 ms at Yelp scale, d=64, as expensive as the kernel itself).
 
     precision: HIGHEST keeps the one-hot matmul reduce f32-exact for f32
     vals (the MXU's default f32 path truncates values to bf16: measured
     1.5e-3 rel err); irrelevant for bf16 vals (single-pass by nature).
     out_dtype: output dtype, default f32 (accumulator dtype).
     """
-    if prepacked:
-        n_rows, lane = vals.shape
-        if lane != LANE:
-            raise ValueError(f"prepacked vals must have {LANE} lanes")
-        e_al = layout.n_chunks * layout.chunk_edges
-        if layout.n_chunks == 0:
-            d = LANE
-        elif n_rows == 0 or e_al % n_rows:
-            raise ValueError(f"prepacked rows {n_rows} don't divide "
-                             f"aligned edge count {e_al}")
-        else:
-            d = LANE // (e_al // n_rows)
-    else:
-        e_al, d = vals.shape
+    e_al, d = vals.shape
     out_dtype = jnp.float32 if out_dtype is None else out_dtype
     if d > LANE or LANE % d != 0:
         raise ValueError(f"feature dim {d} must divide {LANE}")
@@ -266,7 +251,7 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
                          f"{layout.n_chunks} chunks x {chunk}")
     if layout.n_chunks == 0:
         return jnp.zeros((n_segments, d), out_dtype)
-    packed = vals if prepacked else vals.reshape(e_al // pack, LANE)
+    packed = vals.reshape(e_al // pack, LANE)
     chunk_rows = chunk // pack
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

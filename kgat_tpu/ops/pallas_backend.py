@@ -90,6 +90,11 @@ class EdgeWeights:
 DEFAULT_PACKS = (2, 4, 8)
 
 
+def pack_for_dim(d: int) -> int:
+    """Lane-pack width for a feature dim (1 = packing not applicable)."""
+    return 128 // d if (d <= 128 and 128 % d == 0) else 1
+
+
 def packs_for(cfg) -> tuple:
     """The pack widths the model's SpMM calls will actually request:
     spmm at layer l runs on features of dim embed_dim (l=0) or
@@ -145,8 +150,7 @@ def _layout_reduce(layout, w_aligned, x, n_nodes,
     """
     if x.dtype == jnp.bfloat16:
         precision = jax.lax.Precision.DEFAULT  # single-pass by nature
-    d = x.shape[-1]
-    pack = 128 // d if (d <= 128 and 128 % d == 0) else 1
+    pack = pack_for_dim(x.shape[-1])
     if (w_t is not None and pack > 1 and layout.node_t is not None
             and pack in layout.node_t and layout.n_chunks > 0):
         packed = pack_gathered(x, layout, pack)
@@ -197,8 +201,7 @@ def spmm(graph: Graph, edge_w, x: jax.Array) -> jax.Array:
     """
     ew = edge_w if isinstance(edge_w, EdgeWeights) \
         else prepare_weights(graph, edge_w)
-    d = x.shape[-1]
-    pack = 128 // d if (d <= 128 and 128 % d == 0) else 1
+    pack = pack_for_dim(x.shape[-1])
     w_fwd_t = ew.fwd_t.get(pack) if isinstance(ew.fwd_t, dict) else None
     w_rev_t = ew.rev_t.get(pack) if isinstance(ew.rev_t, dict) else None
     return _spmm_p(ew.fwd, ew.rev, w_fwd_t, w_rev_t, x,

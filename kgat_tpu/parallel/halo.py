@@ -56,7 +56,7 @@ def _make_pspmm(backend: str):
     reduce_ = pb._layout_reduce if backend == "pallas" else _xla_reduce
 
     def _wt(ew_t, d):
-        pack = 128 // d if (d <= 128 and 128 % d == 0) else 1
+        pack = pb.pack_for_dim(d)
         return ew_t.get(pack) if isinstance(ew_t, dict) else None
 
     @jax.custom_vjp

@@ -145,12 +145,17 @@ def build_ring_buckets(src: np.ndarray, dst: np.ndarray,
             q = (p - s) % P
             m = (s_src // R) == q
             ids = np.nonzero(m)[0]
+            # packs=(): ring buckets always run the legacy reduce
+            # (w_t=None in halo._ring_side) — don't stage dead index
+            # strips for P^2 bucket layouts.
             fwd = _build_aligned_layout(
                 s_dst[m], s_src[m] - q * R, R, dead,
-                force_chunks=fwd_need, chunk_edges=RING_CHUNK_EDGES)
+                force_chunks=fwd_need, chunk_edges=RING_CHUNK_EDGES,
+                packs=())
             rev = _build_aligned_layout(
                 s_src[m] - q * R, s_dst[m], R, dead,
-                force_chunks=rev_need, chunk_edges=RING_CHUNK_EDGES)
+                force_chunks=rev_need, chunk_edges=RING_CHUNK_EDGES,
+                packs=())
             steps.append(RingBuckets(fwd=_remap_gather(fwd, ids, dead),
                                      rev=_remap_gather(rev, ids, dead)))
         per_shard.append(jax.tree.map(lambda *xs: jnp.stack(xs), *steps))
@@ -270,11 +275,13 @@ def build_selective_halo(src: np.ndarray, dst: np.ndarray,
         for q in range(P):
             rows = need[p][q]
             local_ids[R + q * H: R + q * H + len(rows)] = rows
+        # packs=(): the a2a exchange runs the legacy reduce (w_t=None in
+        # halo.propagate_inner) — skip dead index-strip staging.
         fwd = _build_aligned_layout(
             s_dst, locs[p], R, dead, order=np.arange(n_e, dtype=np.int64),
-            force_chunks=fwd_need)
+            force_chunks=fwd_need, packs=())
         rev = _build_aligned_layout(locs[p], s_dst, T, dead,
-                                    force_chunks=rev_need)
+                                    force_chunks=rev_need, packs=())
         per_shard.append(SelectiveHalo(
             send_idx=jnp.asarray(send_idx),
             local_ids=jnp.asarray(local_ids.astype(np.int32)),
