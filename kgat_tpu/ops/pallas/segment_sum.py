@@ -145,6 +145,10 @@ def segment_sum_packed(packed: jax.Array, w_t: jax.Array,
     n_rows, lane = packed.shape
     if lane != LANE:
         raise ValueError(f"packed vals must have {LANE} lanes")
+    if packed.dtype == jnp.bfloat16:
+        # bf16 is single-pass by nature; HIGHEST-precision bf16 dots are
+        # a Mosaic internal error ("Bad lhs type"), so never forward it.
+        precision = jax.lax.Precision.DEFAULT
     out_dtype = jnp.float32 if out_dtype is None else out_dtype
     if layout.n_chunks == 0:
         raise ValueError("empty layout: use segment_sum_aligned, which "
@@ -241,6 +245,8 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
     out_dtype: output dtype, default f32 (accumulator dtype).
     """
     e_al, d = vals.shape
+    if vals.dtype == jnp.bfloat16:
+        precision = jax.lax.Precision.DEFAULT  # see segment_sum_packed
     out_dtype = jnp.float32 if out_dtype is None else out_dtype
     if d > LANE or LANE % d != 0:
         raise ValueError(f"feature dim {d} must divide {LANE}")
