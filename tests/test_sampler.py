@@ -67,3 +67,26 @@ def test_cf_sampler_uniformity(tiny_dataset):
     # chi-square-ish sanity: no active user more than 2x off expectation
     assert counts[active].min() > expected * 0.5
     assert counts[active].max() < expected * 2.0
+
+
+def test_cf_negative_uniformity(tiny_dataset):
+    """Negatives must be ~uniform over the user's NON-interacted items
+    (the first-clean-draw scheme preserves sequential-rejection exactly)."""
+    ds = tiny_dataset
+    table = CFSampleTable.build(ds.cf_train, ds.n_users, ds.n_items)
+    n = 40000
+    u, ip, ineg, w = jax.jit(
+        lambda k: sample_cf_batch(table, k, n))(jax.random.key(9))
+    u, ineg, w = np.asarray(u), np.asarray(ineg), np.asarray(w)
+    train = {uu: set(v.tolist()) for uu, v in ds.train_user_dict.items()}
+    # Pick the most-sampled user; their negatives should cover the
+    # complement ~uniformly.
+    uu = int(np.bincount(u).argmax())
+    m = (u == uu) & (w > 0)
+    negs = ineg[m]
+    complement = np.array(sorted(set(range(ds.n_items)) - train[uu]))
+    counts = np.bincount(negs, minlength=ds.n_items)[complement]
+    assert counts.sum() == m.sum()
+    expected = m.sum() / len(complement)
+    # loose chi-square-ish bound at this sample size
+    assert counts.max() < expected * 3.0 and counts.min() > expected * 0.2
