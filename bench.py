@@ -247,7 +247,9 @@ def main(argv=None):
     # Without --compare, report against the recorded XLA ref-path
     # measurement for this preset (v5e 1 chip, 2026-08-17; BASELINE.md) so
     # the default run still carries a meaningful ratio at bounded runtime.
-    RECORDED_REF_CF_STEP_S = {"yelp2018": 0.5065}
+    # Live --compare measurement 2026-08-17, clean chip, post
+    # latent-factor generator (4.65M edges).
+    RECORDED_REF_CF_STEP_S = {"yelp2018": 0.4571}
     vs = 1.0
     if (a.backend == "pallas"
             and a.preset in RECORDED_REF_CF_STEP_S and not a.compare):
