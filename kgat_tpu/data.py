@@ -168,6 +168,7 @@ def synthetic_dataset(
     n_factors: int = 32,
     cf_affinity: float = 0.75,
     kg_affinity: float = 0.75,
+    user_mixture: int = 1,
 ) -> Dataset:
     """Generate a structurally-faithful synthetic dataset.
 
@@ -186,6 +187,12 @@ def synthetic_dataset(
     epochs-to-recall trajectories measure real collaborative learning.
     Every user has at least one train and one test interaction so
     evaluation is well-defined.
+
+    user_mixture > 1 gives each user a Dirichlet-weighted taste over that
+    many clusters instead of a single one — the taste space grows from K
+    to ~K^m combinations, which stretches the epochs-to-recall curve
+    (single-cluster tastes at published-scale sparsity are learned by the
+    first eval; mixtures force the model to resolve per-user weights).
     """
     rng = np.random.default_rng(seed)
     assert n_entities >= n_items
@@ -198,15 +205,25 @@ def synthetic_dataset(
     # Latent clusters over ALL entities (items are entities [0, n_items)).
     K = max(1, min(int(n_factors), n_items))
     ent_cluster = rng.integers(0, K, size=n_entities)
-    user_cluster = rng.integers(0, K, size=n_users)
+    m_mix = max(1, int(user_mixture))
+    user_clusters = rng.integers(0, K, size=(n_users, m_mix))
+    if m_mix == 1:
+        user_w = np.ones((n_users, 1))
+    else:
+        user_w = rng.dirichlet(np.ones(m_mix), size=n_users)
+    user_w_cum = np.cumsum(user_w, axis=1)
 
     def draw_items(uids: np.ndarray) -> np.ndarray:
-        """Affinity mixture: preferred-cluster draw w.p. cf_affinity."""
+        """Affinity mixture: cluster sampled from the user's taste weights
+        w.p. cf_affinity, global popularity otherwise."""
         n = len(uids)
         out = rng.choice(n_items, size=n, p=item_p)     # popularity draws
         use_aff = rng.random(n) < cf_affinity
+        mix_pick = (rng.random(n)[:, None]
+                    < user_w_cum[uids]).argmax(axis=1)
+        chosen = user_clusters[uids, mix_pick]
         for c in range(K):
-            m = use_aff & (user_cluster[uids] == c)
+            m = use_aff & (chosen == c)
             cnt = int(m.sum())
             if cnt == 0:
                 continue
