@@ -1,0 +1,121 @@
+"""Hand-rolled ICI ring transport: neighbor shift as a Pallas remote DMA.
+
+The partitioned ring exchange (parallel/halo.py `_ring_side`) passes each
+device's activation chunk around the ring while reducing the edge bucket
+whose source chunk just arrived. The default transport is
+`jax.lax.ppermute` — XLA lowers it to an async collective-permute and
+schedules it to overlap with the bucket reduce. This module supplies the
+explicit alternative the blueprint names (SURVEY.md §2.3 comm-backend row,
+[S:98-132] idiom): the same shift as a `pltpu.make_async_remote_copy`
+between neighbor HBM buffers with send/recv DMA semaphores and a
+barrier-semaphore handshake. It is the building block for transports XLA
+cannot derive on its own (multi-hop routing, priority lanes, fusing the
+send into a compute kernel — see segment_sum_packed_send) and the TPU
+equivalent of DGL's NCCL/RPC layer (the reference itself has no
+distributed path at all — SURVEY.md §2.3).
+
+Semantics: `shift(x)` returns, on each device, the `x` of its LEFT
+neighbor along the mesh axis (data moves left->right, matching
+``lax.ppermute(x, axis, [(i, (i+1) % n)])`` — the halo ring's direction).
+Differentiable: the VJP carries the cotangent around the ring the opposite
+way (the permutation's transpose), exactly like ppermute's transpose rule.
+
+CPU testing: `interpret=True` runs under the Pallas TPU interpret machinery
+(`pltpu.InterpretParams`), which emulates remote DMAs and semaphores across
+the virtual shard_map devices — this is what lets CI pin kernel-level
+communication without a pod (SURVEY.md §4.3's multi-chip-without-a-cluster
+rule, extended to hand-rolled DMAs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MESH = pltpu.DeviceIdType.MESH
+
+
+def _shift_kernel(x_ref, o_ref, send_sem, recv_sem, *, axis_name: str,
+                  n: int, step: int):
+    """Copy my buffer to the neighbor `step` hops to the right (mod n)."""
+    my = jax.lax.axis_index(axis_name)
+    left = jax.lax.rem(my + n - 1, n)
+    right = jax.lax.rem(my + 1, n)
+    dst = jax.lax.rem(my + step + n, n)
+
+    # Entry barrier: a remote DMA may only target a neighbor that has
+    # entered this kernel instance (its scratch semaphores are live).
+    # The barrier semaphore is persistent per collective_id, so signals
+    # arriving before the neighbor enters are accumulated, not lost.
+    barrier = pltpu.get_barrier_semaphore()
+    pltpu.semaphore_signal(barrier, 1, device_id=(left,),
+                           device_id_type=_MESH)
+    pltpu.semaphore_signal(barrier, 1, device_id=(right,),
+                           device_id_type=_MESH)
+    pltpu.semaphore_wait(barrier, 2)
+
+    op = pltpu.make_async_remote_copy(
+        src_ref=x_ref, dst_ref=o_ref, send_sem=send_sem, recv_sem=recv_sem,
+        device_id=(dst,), device_id_type=_MESH)
+    op.start()
+    op.wait()
+
+
+def _build_shift(axis_name: str, n: int, step: int, collective_id: int,
+                 interpret):
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+
+    def call(x):
+        return pl.pallas_call(
+            functools.partial(_shift_kernel, axis_name=axis_name, n=n,
+                              step=step),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA] * 2,
+            compiler_params=pltpu.CompilerParams(
+                collective_id=collective_id, has_side_effects=True),
+            interpret=interpret or False,
+        )(x)
+
+    return call
+
+
+def make_ring_shift(axis_name: str, n_devices: int, *,
+                    collective_id: int = 0, interpret=False):
+    """Differentiable ring shift: device i receives device (i-1)%n's array.
+
+    Equivalent to ``lax.ppermute(x, axis_name, [(i, (i+1) % n)])``; must be
+    called inside shard_map over `axis_name`. All participating calls that
+    may be in flight together share one barrier semaphore per
+    collective_id; the halo ring's shifts are sequentially ordered, so a
+    single id is safe.
+
+    interpret: False (real Mosaic compile), True (default TPU interpret
+    emulation — CPU CI), or a `pltpu.InterpretParams` instance (e.g.
+    ``detect_races=True`` to run the DMA under the interpreter's
+    vector-clock race detector — the TSAN analog for kernel comms).
+    """
+    fwd_call = _build_shift(axis_name, n_devices, 1, collective_id,
+                            interpret)
+    # Transpose: out_j = x_{j-1}  =>  dx_j = g_{j+1}: send g one hop LEFT.
+    bwd_call = _build_shift(axis_name, n_devices, -1, collective_id,
+                            interpret)
+
+    @jax.custom_vjp
+    def shift(x):
+        return fwd_call(x)
+
+    def fwd(x):
+        return fwd_call(x), None
+
+    def bwd(_, g):
+        return (bwd_call(g),)
+
+    shift.defvjp(fwd, bwd)
+    return shift

@@ -102,7 +102,7 @@ class RingWeights:
 def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                      meta: CKGMeta, cfg: kgat.KGATConfig,
                      exchange: str = "allgather", ring_buckets=None,
-                     sel_halo=None):
+                     sel_halo=None, ring_transport: str = "ppermute"):
     """Build jitted partitioned attention / propagate / cf-step callables.
 
     exchange:
@@ -117,6 +117,13 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         (table_rows, d) LOCAL table, never replicated — the path for
         tables too large to replicate; requires sel_halo
         (partition.build_selective_halo).
+
+    ring_transport: how the ring moves activation chunks between
+      neighbors. 'ppermute' (default) — XLA's async collective-permute,
+      scheduled to overlap with the bucket reduce. 'dma' — the hand-rolled
+      Pallas remote-DMA kernel (ops/pallas/remote_ring.py, the [S:98-132]
+      idiom: send/recv DMA semaphores + barrier handshake); on CPU meshes
+      it runs under the TPU interpret machinery so tests cover it.
     """
     N, n_pad, R = info.n_nodes_global, info.n_nodes_pad, info.rows_per_part
     nP = info.n_parts
@@ -132,6 +139,15 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
     ring = exchange == "ring"
     a2a = exchange == "a2a"
     extra = ring_buckets if ring else (sel_halo if a2a else None)
+    if ring_transport not in ("ppermute", "dma"):
+        raise ValueError(f"unknown ring_transport {ring_transport!r}")
+    if ring and ring_transport == "dma":
+        from kgat_tpu.ops.pallas.remote_ring import make_ring_shift
+        _ring_shift = make_ring_shift(
+            AXIS, nP, interpret=jax.default_backend() != "tpu")
+    else:
+        _perm = [(i, (i + 1) % nP) for i in range(nP)]
+        _ring_shift = lambda v: jax.lax.ppermute(v, AXIS, _perm)  # noqa: E731
 
     def attention_inner(g_stack, params, *ex_stack):
         g = _local(g_stack)
@@ -161,14 +177,13 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         """One layer's ring exchange: statically unrolled (reduce, permute)
         pairs — XLA overlaps the ppermute with the bucket reduce."""
         side = jnp.zeros((R, chunk.shape[1]), jnp.float32)
-        perm = [(i, (i + 1) % nP) for i in range(nP)]
         for s in range(nP):
             fwdl = jax.tree.map(lambda a: a[s], rb.fwd)
             revl = jax.tree.map(lambda a: a[s], rb.rev)
             side = side + pspmm(ew.fwd[s], ew.rev[s], None, None, chunk,
                                 fwdl, revl)
             if s < nP - 1:
-                chunk = jax.lax.ppermute(chunk, AXIS, perm)
+                chunk = _ring_shift(chunk)
         return side
 
     def _a2a_table(sh, ego):

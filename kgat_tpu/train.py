@@ -260,7 +260,8 @@ class Trainer:
         attention_p, propagate_eval_p, _make_cf_step, make_cf_scan = \
             make_partitioned(self.mesh, self.pgraph, self.pinfo, meta,
                              cfg.model, exchange=cfg.halo_exchange,
-                             ring_buckets=ring_buckets, sel_halo=sel_halo)
+                             ring_buckets=ring_buckets, sel_halo=sel_halo,
+                             ring_transport=cfg.ring_transport)
         self._attention = lambda params: attention_p(self.pgraph, params)[1]
         self._propagate_eval = propagate_eval_p
         # batch sizes must divide the device count

@@ -40,6 +40,7 @@ class TrainConfig:
     resume: bool = False
     n_devices: int = 1                  # >1/0: edge-partitioned over mesh
     halo_exchange: str = "allgather"    # allgather | ring | a2a
+    ring_transport: str = "ppermute"    # ppermute | dma (ring only)
     pretrain_path: Optional[str] = None  # npz with user_embed/item_embed
     profile_epochs: int = 0             # capture a jax.profiler trace
     graph_cache: Optional[str] = None   # dir for built-graph npz cache
@@ -123,6 +124,11 @@ def parse_args(argv=None) -> TrainConfig:
                         "all-gather (dense fast path), the overlapped "
                         "ring of bucket reduces, or selective halo "
                         "all-to-all (tables too large to replicate)")
+    p.add_argument("--ring-transport", default=None,
+                   choices=["ppermute", "dma"],
+                   help="ring-exchange chunk transport: XLA's async "
+                        "collective-permute, or the hand-rolled Pallas "
+                        "remote-DMA kernel (send/recv semaphores)")
     p.add_argument("--use-pretrain", dest="pretrain_path", default=None,
                    help="npz with user_embed/item_embed (BPR-MF init)")
     p.add_argument("--profile-epochs", type=int, default=None,
@@ -140,7 +146,8 @@ def parse_args(argv=None) -> TrainConfig:
     for field in ("dataset", "data_root", "lr", "cf_batch_size",
                   "kg_batch_size", "epochs", "eval_every", "stopping_steps",
                   "k", "seed", "sampler", "log_dir", "run_name", "n_devices",
-                  "halo_exchange", "pretrain_path", "profile_epochs",
+                  "halo_exchange", "ring_transport", "pretrain_path",
+                  "profile_epochs",
                   "graph_cache", "syn_users",
                   "syn_items", "syn_entities", "syn_relations",
                   "syn_interactions", "syn_triples"):
