@@ -395,11 +395,20 @@ class Trainer:
                 if m["recall"] > self.best_metric:
                     self.best_metric = m["recall"]
                     self.bad_evals = 0
+                    mc = cfg.model
                     save_checkpoint(self.ckpt_path(), self.params,
                                     self.opt_state, epoch=self.epoch,
                                     rng=self.rng,
                                     best_metric=self.best_metric,
-                                    bad_evals=self.bad_evals)
+                                    bad_evals=self.bad_evals,
+                                    extra={"model": {
+                                        "embed_dim": mc.embed_dim,
+                                        "relation_dim": mc.relation_dim,
+                                        "conv_dims": list(mc.conv_dims),
+                                        "aggregator": mc.aggregator,
+                                        "mess_dropout":
+                                            list(mc.mess_dropout),
+                                    }, "dataset": cfg.dataset})
                 else:
                     self.bad_evals += 1
                     if self.bad_evals >= cfg.stopping_steps:

@@ -71,3 +71,36 @@ def load_checkpoint(path: str, params_like, opt_state_like
     opt_state = restore("o/", opt_state_like)
     rng = jax.random.wrap_key_data(arrays["rng"])
     return params, opt_state, meta, rng
+
+
+def load_params(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Restore only the model params (+ JSON meta) from a checkpoint.
+
+    For inference consumers (kgat_tpu.recommend): no optimizer structure
+    needed. Rebuilds the params pytree directly from the flattened "p/"
+    keys — dict levels are path components, integer components become
+    list indices (matching _flatten's path encoding for the KGAT params
+    pytree of nested dicts/lists of arrays).
+    """
+    with np.load(path + ".npz") as z:
+        arrays = {k: z[k] for k in z.files if k.startswith("p/")}
+    with open(path + ".json") as f:
+        meta = json.load(f)
+
+    root: Dict[str, Any] = {}
+    for key, arr in arrays.items():
+        parts = key[2:].split("/")
+        node = root
+        for i, part in enumerate(parts[:-1]):
+            node = node.setdefault(part, {})
+        node[parts[-1]] = arr
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node)
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root), meta

@@ -1,0 +1,102 @@
+"""Serving path (kgat_tpu.recommend): checkpoint -> top-K recommendations.
+
+The reference has no inference surface beyond evaluate() (SURVEY.md §2.6);
+these pin the one we add: params-only checkpoint restore, ranking semantics
+identical to evaluation (train items masked, descending scores), and the
+CLI end to end over the reference on-disk format.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from kgat_tpu.models import kgat
+from kgat_tpu.models.kgat import KGATConfig
+from kgat_tpu.recommend import main as rec_main
+from kgat_tpu.recommend import recommend
+from kgat_tpu.utils.checkpoint import load_params, save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_dataset, tiny_graph):
+    g, meta = tiny_graph
+    cfg = KGATConfig(ops_backend="ref")
+    params = kgat.init_params(jax.random.key(5), meta.n_nodes,
+                              meta.n_relations, cfg)
+    return tiny_dataset, g, meta, cfg, params
+
+
+def test_load_params_roundtrip(tmp_path, trained):
+    _, g, meta, cfg, params = trained
+    import optax
+    opt = optax.adam(1e-3)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params, opt.init(params), epoch=3,
+                    rng=jax.random.key(0), best_metric=0.5,
+                    extra={"model": {"embed_dim": cfg.embed_dim,
+                                     "relation_dim": cfg.relation_dim,
+                                     "conv_dims": list(cfg.conv_dims),
+                                     "aggregator": cfg.aggregator,
+                                     "mess_dropout": list(cfg.mess_dropout)},
+                           "dataset": "tiny"})
+    restored, meta_json = load_params(path)
+    assert meta_json["model"]["aggregator"] == cfg.aggregator
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(restored)
+    assert len(flat_a) == len(flat_b)
+    for (pa, la), (pb, lb) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                  sorted(flat_b, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_recommend_matches_oracle_and_masks_train(trained):
+    ds, g, meta, cfg, params = trained
+    users = sorted(ds.train_user_dict)[:8]
+    k = 5
+    items, scores = recommend(params, g, meta, cfg, users, k=k,
+                              train_user_dict=ds.train_user_dict)
+    assert items.shape == (len(users), k) and scores.shape == items.shape
+    # Oracle: full forward, score, mask, sort.
+    att = kgat.compute_attention(params, g, cfg)
+    emb = np.asarray(kgat.propagate(params, g, att, cfg))
+    for i, u in enumerate(users):
+        s = emb[meta.user_node(u)] @ emb[: meta.n_items].T
+        s[np.asarray(ds.train_user_dict[u])] = -np.inf
+        want = np.argsort(-s)[:k]
+        np.testing.assert_array_equal(items[i], want)
+        np.testing.assert_allclose(scores[i], s[want], rtol=1e-5, atol=1e-5)
+        assert (np.diff(scores[i]) <= 1e-6).all()  # descending
+        assert not set(items[i]) & set(
+            int(x) for x in ds.train_user_dict[u])  # no train leakage
+
+
+def test_recommend_cli_end_to_end(tmp_path, trained):
+    ds, g, meta, cfg, params = trained
+    from kgat_tpu.data import save_dataset
+    import dataclasses as dc
+    named = dc.replace(ds, name="tinyrec") if hasattr(ds, "name") else ds
+    root = str(tmp_path / "data")
+    save_dataset(named, root)
+    import optax
+    ck = str(tmp_path / "run_best")
+    save_checkpoint(ck, params, optax.adam(1e-3).init(params), epoch=1,
+                    rng=jax.random.key(0),
+                    extra={"model": {"embed_dim": cfg.embed_dim,
+                                     "relation_dim": cfg.relation_dim,
+                                     "conv_dims": list(cfg.conv_dims),
+                                     "aggregator": cfg.aggregator,
+                                     "mess_dropout": list(cfg.mess_dropout)},
+                           "dataset": "tinyrec"})
+    out = str(tmp_path / "recs.jsonl")
+    rc = rec_main(["--ckpt", ck, "--data-root", root, "--users", "0,3",
+                   "--k", "4", "--out", out])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in open(out)]
+    assert [ln["user"] for ln in lines] == [0, 3]
+    for ln in lines:
+        assert len(ln["items"]) == 4 and len(ln["scores"]) == 4
+        assert all(isinstance(x, int) for x in ln["items"])

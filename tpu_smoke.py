@@ -113,6 +113,30 @@ def main() -> int:
         np.testing.assert_allclose(emb_p, emb_s, rtol=1e-3, atol=1e-3)
         print(f"pallas+shard_map mesh({n_dev}) {exchange} ok", flush=True)
 
+    # The hand-rolled remote-DMA ring-shift kernel: Mosaic-compile the
+    # send/recv-semaphore + barrier choreography directly (the ring path
+    # skips shifts entirely on mesh(1), so call the kernel itself — the
+    # shift is a self-send there and must round-trip the buffer).
+    # Interpret-mode CI covers multi-device semantics; this covers the
+    # real compile.
+    from jax.sharding import PartitionSpec as P
+    from kgat_tpu.ops.pallas.remote_ring import make_ring_shift
+
+    shift = make_ring_shift(AXIS, n_dev)
+    xs = jnp.asarray(rng.normal(size=(n_dev * 256, 64)).astype(np.float32))
+    got = jax.jit(jax.shard_map(
+        lambda v: shift(v), mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
+        check_vma=False))(xs)
+    want = np.roll(np.asarray(xs).reshape(n_dev, 256, 64), 1, axis=0)
+    np.testing.assert_array_equal(np.asarray(got).reshape(n_dev, 256, 64),
+                                  want)
+    g_dma = jax.jit(jax.grad(lambda v: jnp.sum(jax.shard_map(
+        lambda u_: shift(u_) ** 2, mesh=mesh, in_specs=P(AXIS),
+        out_specs=P(AXIS), check_vma=False)(v))))(xs)
+    np.testing.assert_allclose(np.asarray(g_dma), 2 * np.asarray(xs),
+                               rtol=1e-6, atol=1e-6)
+    print(f"remote-dma ring shift mesh({n_dev}) fwd+vjp ok", flush=True)
+
     print("TPU SMOKE PASS")
     return 0
 
