@@ -86,6 +86,147 @@ def _build_shift(axis_name: str, n: int, step: int, collective_id: int,
     return call
 
 
+def _reduce_send_kernel(chunk_block_ref, bounds_ref, vals_ref, x_ref,
+                        out_ref, next_ref, send_sem, recv_sem, *,
+                        pack: int, d: int, chunk: int, n_chunks: int,
+                        precision, axis_name: str, n: int):
+    """One grid step of the fused bucket-reduce + neighbor-send.
+
+    The reduction body mirrors segment_sum._kernel (block-aligned one-hot
+    matmul on the MXU); on top of it, grid step 0 launches the async
+    remote copy of this device's activation chunk to its right neighbor
+    and the last grid step waits on it — the ICI transfer flies entirely
+    under the bucket's MXU reduce, which is the [S:98-132] overlap idiom
+    done at the kernel level rather than by XLA's scheduler."""
+    k = pl.program_id(0)
+    my = jax.lax.axis_index(axis_name)
+    left = jax.lax.rem(my + n - 1, n)
+    right = jax.lax.rem(my + 1, n)
+    copy = pltpu.make_async_remote_copy(
+        src_ref=x_ref, dst_ref=next_ref, send_sem=send_sem,
+        recv_sem=recv_sem, device_id=(right,), device_id_type=_MESH)
+
+    @pl.when(k == 0)
+    def _():
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, 1, device_id=(left,),
+                               device_id_type=_MESH)
+        pltpu.semaphore_signal(barrier, 1, device_id=(right,),
+                               device_id_type=_MESH)
+        pltpu.semaphore_wait(barrier, 2)
+        copy.start()
+
+    blk = chunk_block_ref[k]
+    first = jnp.logical_or(
+        k == 0, chunk_block_ref[jnp.maximum(k - 1, 0)] != blk)
+    bounds = bounds_ref[0]
+    lo = bounds[:, 0:1]
+    hi = bounds[:, 1:2]
+    base = k * chunk
+    chunk_rows = chunk // pack
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (bounds.shape[0], chunk_rows), 1)
+    vals = vals_ref[:]
+    acc = jnp.zeros_like(out_ref)
+    for i in range(pack):
+        e_abs = base + col * pack + i
+        onehot = jnp.where((e_abs >= lo) & (e_abs < hi),
+                           1.0, 0.0).astype(vals.dtype)
+        acc += jax.lax.dot_general(
+            onehot, vals[:, i * d:(i + 1) * d],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ).astype(out_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] += acc
+
+    @pl.when(k == n_chunks - 1)
+    def _():
+        copy.wait()
+
+
+def make_reduce_send(axis_name: str, n_devices: int, *,
+                     collective_id: int = 0, interpret=False):
+    """Fused ring step: segment-reduce this bucket WHILE shipping the
+    activation chunk to the right neighbor over an explicit remote DMA.
+
+    Returns ``reduce_send(vals, chunk, layout, n_segments) ->
+    (sums, next_chunk)`` where `vals` is the (E_al, d) aligned value
+    stream of this bucket (``chunk[layout.node] * w``), `chunk` the
+    (R, d) activation chunk to forward, and `next_chunk` the left
+    neighbor's chunk for the next ring step. Must run inside shard_map
+    over `axis_name`. Linear in both inputs — callers wrap it in a
+    custom_vjp (parallel/halo.py) whose bwd is the reverse-layout reduce
+    plus the reverse-direction shift of the next-chunk cotangent.
+    """
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    from kgat_tpu.ops.pallas.segment_sum import LANE
+    from kgat_tpu.graph import ALIGN_BLOCK_ROWS
+
+    def call(vals, chunk_arr, layout, n_segments):
+        e_al, d = vals.shape
+        precision = (jax.lax.Precision.DEFAULT
+                     if vals.dtype == jnp.bfloat16
+                     else jax.lax.Precision.HIGHEST)
+        if d > LANE or LANE % d != 0:
+            raise ValueError(f"feature dim {d} must divide {LANE}")
+        pack = LANE // d
+        ce = layout.chunk_edges
+        if e_al != layout.n_chunks * ce or layout.n_chunks == 0:
+            raise ValueError(f"vals length {e_al} != layout's "
+                             f"{layout.n_chunks} chunks x {ce}")
+        packed = vals.reshape(e_al // pack, LANE)
+        chunk_rows = ce // pack
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layout.n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, ALIGN_BLOCK_ROWS, 8),
+                             lambda k, cb: (cb[k], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_rows, LANE), lambda k, cb: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((ALIGN_BLOCK_ROWS, d),
+                             lambda k, cb: (cb[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[pltpu.SemaphoreType.DMA] * 2,
+        )
+        sums, nxt = pl.pallas_call(
+            functools.partial(
+                _reduce_send_kernel, pack=pack, d=d, chunk=ce,
+                n_chunks=layout.n_chunks, precision=precision,
+                axis_name=axis_name, n=n_devices),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (layout.n_blocks * ALIGN_BLOCK_ROWS, d), jnp.float32),
+                jax.ShapeDtypeStruct(chunk_arr.shape, chunk_arr.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                collective_id=collective_id, has_side_effects=True),
+            interpret=interpret or False,
+        )(layout.chunk_block, layout.bounds, packed, chunk_arr)
+        nonempty = (layout.bounds[:, :, 1]
+                    > layout.bounds[:, :, 0]).reshape(-1)
+        sums = sums * nonempty[:, None].astype(sums.dtype)
+        return sums[:n_segments], nxt
+
+    return call
+
+
 def make_ring_shift(axis_name: str, n_devices: int, *,
                     collective_id: int = 0, interpret=False):
     """Differentiable ring shift: device i receives device (i-1)%n's array.

@@ -82,6 +82,43 @@ def _make_pspmm(backend: str):
     return pspmm
 
 
+def _make_pspmm_send(backend: str, n_devices: int, interpret: bool):
+    """Fused ring step with autograd: (bucket reduce + chunk send) in one
+    Pallas kernel (ops/pallas/remote_ring.py). Linear op; the VJP is the
+    reverse-layout reduce of the side cotangent plus the reverse-direction
+    DMA shift of the next-chunk cotangent (the send's transpose)."""
+    from kgat_tpu.ops.pallas.remote_ring import (_build_shift,
+                                                 make_reduce_send)
+
+    reduce_ = pb._layout_reduce if backend == "pallas" else _xla_reduce
+    fused = make_reduce_send(AXIS, n_devices, interpret=interpret)
+    left_shift = _build_shift(AXIS, n_devices, -1, 0, interpret)
+
+    @jax.custom_vjp
+    def pspmm_send(w_fwd, w_rev, chunk, fwd_layout, rev_layout):
+        n_out = fwd_layout.n_blocks * ALIGN_BLOCK_ROWS
+        vals = (chunk[fwd_layout.node]
+                * w_fwd[:, None].astype(chunk.dtype))
+        return fused(vals, chunk, fwd_layout, n_out)
+
+    def fwd(w_fwd, w_rev, chunk, fwd_layout, rev_layout):
+        return pspmm_send(w_fwd, w_rev, chunk, fwd_layout, rev_layout), \
+            (w_fwd, w_rev, chunk, fwd_layout, rev_layout)
+
+    def bwd(res, cot):
+        g_side, g_next = cot
+        w_fwd, w_rev, chunk, fwd_layout, rev_layout = res
+        d_w = jnp.sum(chunk[fwd_layout.node] * g_side[fwd_layout.seg],
+                      axis=-1).astype(w_fwd.dtype)
+        n_in = rev_layout.n_blocks * ALIGN_BLOCK_ROWS
+        d_chunk = (reduce_(rev_layout, w_rev, g_side, n_in)
+                   .astype(chunk.dtype) + left_shift(g_next))
+        return (d_w, None, d_chunk, None, None)
+
+    pspmm_send.defvjp(fwd, bwd)
+    return pspmm_send
+
+
 # ---------------------------------------------------------------------------
 # Partitioned model fns. All are *inner* fns meant to run inside shard_map.
 # ---------------------------------------------------------------------------
@@ -124,6 +161,10 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
       Pallas remote-DMA kernel (ops/pallas/remote_ring.py, the [S:98-132]
       idiom: send/recv DMA semaphores + barrier handshake); on CPU meshes
       it runs under the TPU interpret machinery so tests cover it.
+      'fused' — reduce and send as ONE Pallas kernel (make_reduce_send):
+      the chunk's remote DMA is launched at the bucket reduce's first grid
+      step and waited at its last, so the ICI transfer is hidden under the
+      MXU reduce by construction, not by the XLA scheduler.
     """
     N, n_pad, R = info.n_nodes_global, info.n_nodes_pad, info.rows_per_part
     nP = info.n_parts
@@ -139,15 +180,17 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
     ring = exchange == "ring"
     a2a = exchange == "a2a"
     extra = ring_buckets if ring else (sel_halo if a2a else None)
-    if ring_transport not in ("ppermute", "dma"):
+    if ring_transport not in ("ppermute", "dma", "fused"):
         raise ValueError(f"unknown ring_transport {ring_transport!r}")
+    _interp = jax.default_backend() != "tpu"
     if ring and ring_transport == "dma":
         from kgat_tpu.ops.pallas.remote_ring import make_ring_shift
-        _ring_shift = make_ring_shift(
-            AXIS, nP, interpret=jax.default_backend() != "tpu")
+        _ring_shift = make_ring_shift(AXIS, nP, interpret=_interp)
     else:
         _perm = [(i, (i + 1) % nP) for i in range(nP)]
         _ring_shift = lambda v: jax.lax.ppermute(v, AXIS, _perm)  # noqa: E731
+    pspmm_send = (_make_pspmm_send(cfg.ops_backend, nP, _interp)
+                  if ring and ring_transport == "fused" else None)
 
     def attention_inner(g_stack, params, *ex_stack):
         g = _local(g_stack)
@@ -175,15 +218,22 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
 
     def _ring_side(rb, ew, chunk):
         """One layer's ring exchange: statically unrolled (reduce, permute)
-        pairs — XLA overlaps the ppermute with the bucket reduce."""
+        pairs — XLA overlaps the ppermute with the bucket reduce. With the
+        'fused' transport, reduce and send are ONE Pallas kernel: the
+        remote DMA of the chunk flies under the bucket's MXU reduce."""
         side = jnp.zeros((R, chunk.shape[1]), jnp.float32)
         for s in range(nP):
             fwdl = jax.tree.map(lambda a: a[s], rb.fwd)
             revl = jax.tree.map(lambda a: a[s], rb.rev)
-            side = side + pspmm(ew.fwd[s], ew.rev[s], None, None, chunk,
-                                fwdl, revl)
-            if s < nP - 1:
-                chunk = _ring_shift(chunk)
+            if pspmm_send is not None and s < nP - 1:
+                partial, chunk = pspmm_send(ew.fwd[s], ew.rev[s], chunk,
+                                            fwdl, revl)
+                side = side + partial
+            else:
+                side = side + pspmm(ew.fwd[s], ew.rev[s], None, None,
+                                    chunk, fwdl, revl)
+                if s < nP - 1:
+                    chunk = _ring_shift(chunk)
         return side
 
     def _a2a_table(sh, ego):

@@ -40,7 +40,7 @@ class TrainConfig:
     resume: bool = False
     n_devices: int = 1                  # >1/0: edge-partitioned over mesh
     halo_exchange: str = "allgather"    # allgather | ring | a2a
-    ring_transport: str = "ppermute"    # ppermute | dma (ring only)
+    ring_transport: str = "ppermute"    # ppermute | dma | fused (ring only)
     pretrain_path: Optional[str] = None  # npz with user_embed/item_embed
     profile_epochs: int = 0             # capture a jax.profiler trace
     graph_cache: Optional[str] = None   # dir for built-graph npz cache
@@ -125,10 +125,12 @@ def parse_args(argv=None) -> TrainConfig:
                         "ring of bucket reduces, or selective halo "
                         "all-to-all (tables too large to replicate)")
     p.add_argument("--ring-transport", default=None,
-                   choices=["ppermute", "dma"],
+                   choices=["ppermute", "dma", "fused"],
                    help="ring-exchange chunk transport: XLA's async "
-                        "collective-permute, or the hand-rolled Pallas "
-                        "remote-DMA kernel (send/recv semaphores)")
+                        "collective-permute, the hand-rolled Pallas "
+                        "remote-DMA kernel (send/recv semaphores), or "
+                        "the fused reduce+send kernel (DMA hidden under "
+                        "the bucket's MXU reduce)")
     p.add_argument("--use-pretrain", dest="pretrain_path", default=None,
                    help="npz with user_embed/item_embed (BPR-MF init)")
     p.add_argument("--profile-epochs", type=int, default=None,

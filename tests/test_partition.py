@@ -376,3 +376,62 @@ def test_ring_dma_cf_step_matches_single(setup):
     np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p_p["entity_embed"]),
                                np.asarray(p_s["entity_embed"]), atol=2e-5)
+
+
+def test_ring_fused_transport_matches_single(setup):
+    """exchange='ring' with the FUSED reduce+send transport: one Pallas
+    kernel per ring step does the bucket reduce while the chunk's remote
+    DMA is in flight; propagation and the grad-bearing CF step must match
+    single-device. Small dims (d=16) keep every per-grid-step vals block
+    at 32x128 — the interpret machinery deadlocks on >=64x128 blocks
+    under shard_map (CPU emulation limit; tpu_smoke covers real dims)."""
+    from kgat_tpu.parallel.partition import build_ring_buckets
+    from kgat_tpu.graph import host_coo
+    from jax.experimental.pallas import tpu as pltpu
+
+    g, meta, mesh, pg, info, _cfg, _params = setup
+    coo = host_coo(g)
+    rb = build_ring_buckets(coo["src"], coo["dst"], info)
+    pltpu.reset_tpu_interpret_mode_state()
+
+    cfg0 = KGATConfig(ops_backend="ref", embed_dim=16, relation_dim=16,
+                      conv_dims=(16,), mess_dropout=(0.0,))
+    params0 = kgat.init_params(jax.random.key(6), meta.n_nodes,
+                               meta.n_relations, cfg0)
+    att_s = kgat.compute_attention(params0, g, cfg0)
+    emb_s = kgat.propagate(params0, g, att_s, cfg0)
+
+    attention, propagate_eval, make_cf_step, _ = make_partitioned(
+        mesh, pg, info, meta, cfg0, exchange="ring", ring_buckets=rb,
+        ring_transport="fused")
+    _, rw = attention(pg, params0)
+    emb_p = propagate_eval(rw, params0)
+    np.testing.assert_allclose(np.asarray(emb_p), np.asarray(emb_s),
+                               rtol=1e-4, atol=1e-4)
+
+    # Grad-bearing step: the VJP is the reverse-layout reduce plus the
+    # reverse-direction shift of the next-chunk cotangent.
+    opt = optax.adam(1e-3)
+    B = 32
+    u = jnp.arange(B, dtype=jnp.int32) % meta.n_users
+    ip = jnp.arange(B, dtype=jnp.int32) % meta.n_items
+    ineg = (jnp.arange(B, dtype=jnp.int32) + 3) % meta.n_items
+    w = jnp.ones(B)
+    rng = jax.random.key(9)
+    step = make_cf_step(opt)
+    p_p, _, loss_p = step(jax.tree.map(jnp.copy, params0),
+                          opt.init(params0), rw, u, ip, ineg, w, rng)
+    jax.block_until_ready((p_p, loss_p))  # see test_ring_dma_cf_step note
+
+    @jax.jit
+    def single(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: kgat.cf_loss(p, g, att_s, meta, u, ip, ineg, cfg0,
+                                   rng=rng, train=True, weight=w))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), loss
+
+    p_s, loss_s = single(jax.tree.map(jnp.copy, params0), opt.init(params0))
+    np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_p["entity_embed"]),
+                               np.asarray(p_s["entity_embed"]), atol=2e-5)

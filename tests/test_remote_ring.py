@@ -93,3 +93,81 @@ def test_ring_shift_race_detector_clean(mesh):
     want = _smap(mesh, lambda v: jax.lax.ppermute(v, AXIS, perm))(x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert _ipc.races is None or not _ipc.races.races_found
+
+
+def test_reduce_send_matches_reduce_then_shift(mesh):
+    """The fused reduce+send kernel must equal (segment_sum_aligned,
+    ppermute) exactly: same sums, same forwarded chunk."""
+    from jax.experimental.pallas import tpu as pltpu
+    from kgat_tpu.data import synthetic_dataset
+    from kgat_tpu.graph import host_coo
+    from kgat_tpu.ops.pallas.remote_ring import make_reduce_send
+    from kgat_tpu.parallel.partition import (build_ring_buckets,
+                                             partition_graph)
+
+    # d=16 keeps the per-grid-step vals block at 32x128: the interpret
+    # machinery deadlocks on >=64x128 input blocks under shard_map (CPU
+    # emulation limit, not a kernel property — tpu_smoke covers real dims).
+    pltpu.reset_tpu_interpret_mode_state()
+    ds = synthetic_dataset(seed=13, n_users=48, n_items=40, n_entities=72,
+                           n_relations_kg=3, n_interactions=500,
+                           n_triples=400)
+    g, meta = ds.build()
+    coo = host_coo(g)
+    pg, info = partition_graph(coo["src"], coo["dst"], coo["etype"],
+                               meta.n_nodes, meta.n_relations, N)
+    rb = build_ring_buckets(coo["src"], coo["dst"], info)
+    R = info.rows_per_part
+    d = 16
+    rng = np.random.default_rng(3)
+    chunks = jnp.asarray(rng.normal(size=(N * R, d)).astype(np.float32))
+    # Per-shard bucket-0 weights in that bucket's aligned order. Real
+    # layouts guarantee dead (pad) positions carry weight 0 — mask them
+    # here via the bounds coverage, like the staged attention weights do.
+    fwd0 = jax.tree.map(lambda a: a[:, 0], rb.fwd)  # (P, ...) bucket s=0
+    e_al = fwd0.n_chunks * fwd0.chunk_edges
+    w_np = rng.normal(size=(N, e_al)).astype(np.float32)
+    bounds_np = np.asarray(fwd0.bounds)
+    for p in range(N):
+        live = np.zeros(e_al, bool)
+        b = bounds_np[p].reshape(-1, 8)
+        for lo_, hi_ in b[:, :2]:
+            live[lo_:hi_] = True
+        w_np[p][~live] = 0.0
+    w = jnp.asarray(w_np)
+
+    fused = make_reduce_send(AXIS, N, interpret=True)
+
+    def run_fused(chunk, wv, node, seg, bounds, cb):
+        import dataclasses as dc
+        lay = dc.replace(fwd0, node=node[0], seg=seg[0], bounds=bounds[0],
+                         chunk_block=cb[0], gather=fwd0.gather[0])
+        vals = chunk[lay.node] * wv[0][:, None]
+        sums, nxt = fused(vals, chunk, lay, R)
+        return sums, nxt
+
+    from jax.sharding import PartitionSpec as P_
+    smapped = jax.jit(jax.shard_map(
+        run_fused, mesh=mesh,
+        in_specs=(P_(AXIS), P_(AXIS), P_(AXIS), P_(AXIS), P_(AXIS),
+                  P_(AXIS)),
+        out_specs=(P_(AXIS), P_(AXIS)), check_vma=False))
+    sums, nxt = smapped(chunks, w, fwd0.node, fwd0.seg, fwd0.bounds,
+                        fwd0.chunk_block)
+
+    # Oracle: per-shard segment sum + explicit roll of the chunks.
+    chunks_np = np.asarray(chunks).reshape(N, R, d)
+    want_next = np.roll(chunks_np, 1, axis=0).reshape(N * R, d)
+    np.testing.assert_array_equal(np.asarray(nxt), want_next)
+    node = np.asarray(fwd0.node)
+    seg = np.asarray(fwd0.seg)
+    bounds = bounds_np
+    for p in range(N):
+        vals = chunks_np[p][node[p]] * w_np[p][:, None]
+        want = np.zeros((R, d), np.float32)
+        np.add.at(want, seg[p], vals)
+        # dead rows (no bounds coverage) carry garbage-free zeros already
+        nonempty = (bounds[p][:, :, 1] > bounds[p][:, :, 0]).reshape(-1)[:R]
+        want = want * nonempty[:, None]
+        got_p = np.asarray(sums).reshape(N, R, d)[p]
+        np.testing.assert_allclose(got_p, want, rtol=1e-4, atol=1e-4)

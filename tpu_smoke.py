@@ -137,6 +137,60 @@ def main() -> int:
                                rtol=1e-6, atol=1e-6)
     print(f"remote-dma ring shift mesh({n_dev}) fwd+vjp ok", flush=True)
 
+    # Fused reduce+send kernel at real dims (d=64 -> 128x128 vals blocks,
+    # which the CPU interpret emulation cannot run): Mosaic-compile and
+    # check sums against the plain aligned reduce + the chunk round-trip.
+    from kgat_tpu.ops.pallas.remote_ring import make_reduce_send
+
+    rb = build_ring_buckets(coo["src"], coo["dst"], info, mesh=mesh)
+    fwd0 = jax.tree.map(lambda a: a[:, 0], rb.fwd)   # bucket s=0 per shard
+    R = info.rows_per_part
+    d = 64
+    e_al = fwd0.n_chunks * fwd0.chunk_edges
+    chunks = jnp.asarray(
+        rng.normal(size=(n_dev * R, d)).astype(np.float32))
+    fused = make_reduce_send(AXIS, n_dev)
+
+    def run_fused(chunk, node, seg, bounds, cb, gather):
+        import dataclasses as _dc
+        lay = _dc.replace(fwd0, node=node[0], seg=seg[0], bounds=bounds[0],
+                          chunk_block=cb[0], gather=gather[0])
+        vals = chunk[lay.node]
+        sums, nxt = fused(vals, chunk, lay, R)
+        return sums, nxt
+
+    from jax.sharding import PartitionSpec as P2
+    smapped = jax.jit(jax.shard_map(
+        run_fused, mesh=mesh,
+        in_specs=(P2(AXIS),) * 6, out_specs=(P2(AXIS), P2(AXIS)),
+        check_vma=False))
+    sums, nxt = smapped(chunks, fwd0.node, fwd0.seg, fwd0.bounds,
+                        fwd0.chunk_block, fwd0.gather)
+    want_next = np.roll(np.asarray(chunks).reshape(n_dev, R, d), 1,
+                        axis=0).reshape(n_dev * R, d)
+    np.testing.assert_array_equal(np.asarray(nxt), want_next)
+    # Oracle for the sums: per-shard plain aligned reduce (w == 1 on live
+    # positions is implicit: dead positions gather the pad slot, but the
+    # bounds exclude them from the one-hot, so compare against the same
+    # aligned reduce kernel).
+    from kgat_tpu.ops.pallas.segment_sum import segment_sum_aligned
+
+    def run_plain(chunk, node, seg, bounds, cb, gather):
+        import dataclasses as _dc
+        lay = _dc.replace(fwd0, node=node[0], seg=seg[0], bounds=bounds[0],
+                          chunk_block=cb[0], gather=gather[0])
+        return segment_sum_aligned(chunk[lay.node], lay, R)[None]
+
+    plain = jax.jit(jax.shard_map(
+        run_plain, mesh=mesh, in_specs=(P2(AXIS),) * 6,
+        out_specs=P2(AXIS), check_vma=False))
+    want_sums = plain(chunks, fwd0.node, fwd0.seg, fwd0.bounds,
+                      fwd0.chunk_block, fwd0.gather)
+    np.testing.assert_allclose(
+        np.asarray(sums), np.asarray(want_sums).reshape(n_dev * R, d),
+        rtol=1e-4, atol=1e-4)
+    print(f"fused reduce+send mesh({n_dev}) ok", flush=True)
+
     print("TPU SMOKE PASS")
     return 0
 
