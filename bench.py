@@ -234,6 +234,13 @@ def main(argv=None):
     a = p.parse_args(argv)
 
     dev = jax.devices()[0]
+    if dev.platform == "cpu" and a.backend == "pallas":
+        # No Mosaic on CPU (and interpret mode is a correctness tool, not
+        # a benchmark): degrade to the XLA ref path so the bench surface
+        # still produces its JSON line on chip-less machines.
+        print("# cpu device: pallas backend unavailable, degrading to "
+              "--backend ref", file=sys.stderr)
+        a.backend = "ref"
     print(f"# bench on {dev.platform}:{dev.device_kind} preset={a.preset} "
           f"backend={a.backend}", file=sys.stderr)
     t0 = time.time()
