@@ -210,17 +210,23 @@ def test_partitioned_scan_matches_per_step(setup):
                                np.asarray(p2["entity_embed"]), atol=2e-6)
 
 
-@pytest.mark.parametrize("exchange", ["allgather", "ring", "a2a"])
-def test_partitioned_trainer_e2e(tmp_path, exchange):
+@pytest.mark.parametrize("exchange,transport", [
+    ("allgather", "ppermute"), ("ring", "ppermute"), ("a2a", "ppermute"),
+    ("ring", "dma"), ("ring", "fused")])
+def test_partitioned_trainer_e2e(tmp_path, exchange, transport):
     """Config 5's shape: multi-device trainer with edge-partitioned CF
-    phase + DP KG phase, driven end-to-end for two epochs."""
+    phase + DP KG phase, driven end-to-end for two epochs — including
+    the hand-rolled remote-DMA ring transports (small dims keep the
+    interpret-emulated kernel blocks under the 64x128 CPU limit)."""
+    from jax.experimental.pallas import tpu as pltpu
     from kgat_tpu.train import Trainer
     from kgat_tpu.utils.config import TrainConfig
 
+    pltpu.reset_tpu_interpret_mode_state()
     cfg = TrainConfig(
         dataset="synthetic", epochs=2, eval_every=2, lr=5e-3,
         cf_batch_size=64, kg_batch_size=64, n_devices=8, seed=5,
-        halo_exchange=exchange,
+        halo_exchange=exchange, ring_transport=transport,
         log_dir=str(tmp_path),
         syn_users=50, syn_items=40, syn_entities=80, syn_relations=3,
         syn_interactions=500, syn_triples=400,
