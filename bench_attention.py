@@ -55,14 +55,17 @@ def main() -> int:
         pb._attention_logits_flat(p_, g)) * 1e-20 + i, params)
 
     e_al = g.fwd_layout.gather.shape[0]
-    t("att->fwd scatter", lambda f, i: jnp.sum(
+    t("att->fwd scatter (legacy)", lambda f, i: jnp.sum(
         jnp.zeros((e_al,), f.dtype).at[g.att_to_fwd].set(f, mode="drop"))
+        * 1e-20 + i, flat)
+    t("att->fwd gather", lambda f, i: jnp.sum(
+        jnp.take(f, g.fwd_from_att, mode="fill", fill_value=0.0))
         * 1e-20 + i, flat)
 
     from kgat_tpu.ops.pallas.softmax import segment_softmax_aligned_ad
     logits_fwd = jax.block_until_ready(jax.jit(
-        lambda f: jnp.zeros((e_al,), f.dtype).at[g.att_to_fwd].set(
-            f, mode="drop"))(flat))
+        lambda f: jnp.take(f, g.fwd_from_att, mode="fill",
+                           fill_value=0.0))(flat))
     t("aligned softmax", lambda lf, i: jnp.sum(
         segment_softmax_aligned_ad(lf, g.fwd_layout)) * 1e-20 + i,
       logits_fwd)

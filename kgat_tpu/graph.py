@@ -56,10 +56,12 @@ def cross_layout_perms(att_gather: np.ndarray, fwd_gather: np.ndarray,
                        rev_gather: np.ndarray, n_edges: int, n_pad: int):
     """Cross-layout permutations for the fused attention pipeline.
 
-    Returns (att_to_fwd, rev_from_fwd): attention-layout position -> forward
-    aligned position, and reverse-aligned position -> forward position.
-    Dead positions map one-past-the-end (consumers use scatter mode='drop'
-    / jnp.take mode='fill').
+    Returns (att_to_fwd, fwd_from_att, rev_from_fwd): attention-layout
+    position -> forward aligned position, its inverse (forward position ->
+    attention position — the hot routing runs as a gather, since a scatter
+    of the same permutation serializes on TPU), and reverse-aligned
+    position -> forward position. Dead positions map one-past-the-end
+    (consumers use scatter mode='drop' / jnp.take mode='fill').
     """
     e_al_fwd = len(fwd_gather)
     inv_fwd = np.full(n_pad + 1, e_al_fwd, np.int64)
@@ -67,9 +69,12 @@ def cross_layout_perms(att_gather: np.ndarray, fwd_gather: np.ndarray,
     inv_fwd[fwd_gather[real_f]] = np.nonzero(real_f)[0]
     att_to_fwd = (inv_fwd[np.minimum(att_gather, n_pad)]
                   if len(att_gather) else np.zeros(0, np.int64))
+    fwd_from_att = np.full(e_al_fwd, len(att_gather), np.int64)
+    valid = att_to_fwd < e_al_fwd
+    fwd_from_att[att_to_fwd[valid]] = np.nonzero(valid)[0]
     rev_from_fwd = np.where(rev_gather < n_edges,
                             inv_fwd[np.minimum(rev_gather, n_pad)], e_al_fwd)
-    return att_to_fwd, rev_from_fwd
+    return att_to_fwd, fwd_from_att, rev_from_fwd
 
 
 def _stable_sort_perm(keys: np.ndarray, n_keys: int) -> np.ndarray:
@@ -102,6 +107,7 @@ class Graph:
     rev_layout: "AlignedLayout"
     # Static cross-layout permutations for the fused attention pipeline:
     att_to_fwd: jax.Array   # (E_att_pad,) att pos -> fwd-aligned pos (pads -> E_al_fwd, OOB)
+    fwd_from_att: jax.Array  # (E_al_fwd,) fwd pos -> att pos (dead -> E_att_pad, OOB)
     rev_from_fwd: jax.Array  # (E_al_rev,) rev pos -> fwd pos (dead -> OOB)
 
     # --- static metadata (pytree aux) ---
@@ -411,7 +417,7 @@ def build_graph(
         np.concatenate(gather_parts) if gather_parts else np.zeros(0, np.int32)
     )
 
-    att_to_fwd, rev_from_fwd = cross_layout_perms(
+    att_to_fwd, fwd_from_att, rev_from_fwd = cross_layout_perms(
         att_gather, host_array(fwd_layout, "gather"),
         host_array(rev_layout, "gather"), n_edges, n_pad)
 
@@ -425,6 +431,7 @@ def build_graph(
         fwd_layout=fwd_layout,
         rev_layout=rev_layout,
         att_to_fwd=jnp.asarray(att_to_fwd.astype(np.int32)),
+        fwd_from_att=jnp.asarray(fwd_from_att.astype(np.int32)),
         rev_from_fwd=jnp.asarray(rev_from_fwd.astype(np.int32)),
         n_nodes=int(n_nodes),
         n_edges=n_edges,
@@ -436,12 +443,13 @@ def build_graph(
         "src": src_p, "dst": dst_p, "etype": ety_p, "edge_mask": mask,
         "att_gather": att_gather, "row_offsets": row_offsets,
         "att_to_fwd": att_to_fwd.astype(np.int32),
+        "fwd_from_att": fwd_from_att.astype(np.int32),
         "rev_from_fwd": rev_from_fwd.astype(np.int32),
     })
     return g
 
 
-GRAPH_CACHE_VERSION = 1  # bump when the Graph/AlignedLayout schema changes
+GRAPH_CACHE_VERSION = 2  # bump when the Graph/AlignedLayout schema changes
 
 
 def _layout_host_arrays(layout: "AlignedLayout", prefix: str) -> dict:
@@ -499,6 +507,7 @@ def save_graph(path: str, g: Graph, meta: "CKGMeta | None" = None) -> str:
         "row_offsets": host_array(g, "row_offsets"),
         "att_gather": host_array(g, "att_gather"),
         "att_to_fwd": host_array(g, "att_to_fwd"),
+        "fwd_from_att": host_array(g, "fwd_from_att"),
         "rev_from_fwd": host_array(g, "rev_from_fwd"),
         **_layout_host_arrays(g.fwd_layout, "fwd"),
         **_layout_host_arrays(g.rev_layout, "rev"),
@@ -531,7 +540,7 @@ def load_graph(path: str) -> "Tuple[Graph, CKGMeta | None]":
                          f"{GRAPH_CACHE_VERSION}")
     host = {k: np.asarray(z[k]) for k in
             ("src", "dst", "etype", "edge_mask", "att_gather", "row_offsets",
-             "att_to_fwd", "rev_from_fwd")}
+             "att_to_fwd", "fwd_from_att", "rev_from_fwd")}
     g = Graph(
         src=jnp.asarray(host["src"]),
         dst=jnp.asarray(host["dst"]),
@@ -542,6 +551,7 @@ def load_graph(path: str) -> "Tuple[Graph, CKGMeta | None]":
         fwd_layout=_layout_from_arrays(z, "fwd", statics),
         rev_layout=_layout_from_arrays(z, "rev", statics),
         att_to_fwd=jnp.asarray(np.asarray(z["att_to_fwd"])),
+        fwd_from_att=jnp.asarray(np.asarray(z["fwd_from_att"])),
         rev_from_fwd=jnp.asarray(np.asarray(z["rev_from_fwd"])),
         n_nodes=int(statics["n_nodes"]),
         n_edges=int(statics["n_edges"]),

@@ -235,19 +235,19 @@ def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:
     """The fused attention pipeline: logits -> softmax -> EdgeWeights,
     entirely in aligned layouts (A4 + A5).
 
-    Avoids the canonical-order round trip: one scatter routes the
-    relation-blocked logits straight into the forward-aligned order, the
-    Pallas segment softmax (kernels/softmax.py) normalizes there, and the
-    reverse weights are one static-permutation take. The XLA-composed path
-    measured ~285ms of scalar scatter/gather + softmax at Yelp2018 scale;
-    this pipeline replaces all of it with one scatter + one take + three
-    streaming kernel passes.
+    Avoids the canonical-order round trip: one inverse-permutation GATHER
+    (graph.fwd_from_att, host-precomputed — a scatter of the same routing
+    serializes on TPU) moves the relation-blocked logits straight into the
+    forward-aligned order, the Pallas segment softmax (kernels/softmax.py)
+    normalizes there, and the reverse weights are one static-permutation
+    take. The XLA-composed path measured ~285ms of scalar scatter/gather +
+    softmax at Yelp2018 scale; this pipeline replaces all of it with two
+    takes + three streaming kernel passes.
     """
     from kgat_tpu.ops.pallas.softmax import segment_softmax_aligned_ad
     flat = _attention_logits_flat(params, graph)
-    e_al = graph.fwd_layout.gather.shape[0]
-    logits_fwd = jnp.zeros((e_al,), flat.dtype).at[graph.att_to_fwd].set(
-        flat, mode="drop")
+    logits_fwd = jnp.take(flat, graph.fwd_from_att, mode="fill",
+                          fill_value=0.0)
     w_fwd = segment_softmax_aligned_ad(logits_fwd, graph.fwd_layout)
     if getattr(cfg, "compute_dtype", None) is not None:
         w_fwd = w_fwd.astype(cfg.compute_dtype)

@@ -384,7 +384,7 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
         info.n_nodes_pad, n_e, force_chunks=rev_chunks)
 
     from kgat_tpu.graph import cross_layout_perms
-    att_to_fwd, rev_from_fwd = cross_layout_perms(
+    att_to_fwd, fwd_from_att, rev_from_fwd = cross_layout_perms(
         host_array(g, "att_gather"), host_array(fwd, "gather"),
         host_array(rev, "gather"), n_e, g.n_edges_pad)
 
@@ -408,6 +408,7 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
         fwd_layout=fwd,
         rev_layout=rev,
         att_to_fwd=jnp.asarray(att_to_fwd.astype(np.int32)),
+        fwd_from_att=jnp.asarray(fwd_from_att.astype(np.int32)),
         rev_from_fwd=jnp.asarray(rev_from_fwd.astype(np.int32)),
         n_nodes=info.n_nodes_global,
         n_edges=-1,  # shard-dependent; uniform sentinel for SPMD stacking
