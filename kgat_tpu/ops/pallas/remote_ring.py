@@ -98,6 +98,8 @@ def _reduce_send_kernel(chunk_block_ref, bounds_ref, vals_ref, x_ref,
     and the last grid step waits on it — the ICI transfer flies entirely
     under the bucket's MXU reduce, which is the [S:98-132] overlap idiom
     done at the kernel level rather than by XLA's scheduler."""
+    from kgat_tpu.ops.pallas.segment_sum import accum_step
+
     k = pl.program_id(0)
     my = jax.lax.axis_index(axis_name)
     left = jax.lax.rem(my + n - 1, n)
@@ -116,36 +118,8 @@ def _reduce_send_kernel(chunk_block_ref, bounds_ref, vals_ref, x_ref,
         pltpu.semaphore_wait(barrier, 2)
         copy.start()
 
-    blk = chunk_block_ref[k]
-    first = jnp.logical_or(
-        k == 0, chunk_block_ref[jnp.maximum(k - 1, 0)] != blk)
-    bounds = bounds_ref[0]
-    lo = bounds[:, 0:1]
-    hi = bounds[:, 1:2]
-    base = k * chunk
-    chunk_rows = chunk // pack
-    col = jax.lax.broadcasted_iota(
-        jnp.int32, (bounds.shape[0], chunk_rows), 1)
-    vals = vals_ref[:]
-    acc = jnp.zeros_like(out_ref)
-    for i in range(pack):
-        e_abs = base + col * pack + i
-        onehot = jnp.where((e_abs >= lo) & (e_abs < hi),
-                           1.0, 0.0).astype(vals.dtype)
-        acc += jax.lax.dot_general(
-            onehot, vals[:, i * d:(i + 1) * d],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).astype(out_ref.dtype)
-
-    @pl.when(first)
-    def _():
-        out_ref[:] = acc
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        out_ref[:] += acc
+    accum_step(chunk_block_ref, bounds_ref, vals_ref, out_ref,
+               pack=pack, d=d, chunk=chunk, precision=precision)
 
     @pl.when(k == n_chunks - 1)
     def _():
@@ -168,23 +142,17 @@ def make_reduce_send(axis_name: str, n_devices: int, *,
     """
     if interpret is True:
         interpret = pltpu.InterpretParams()
-    from kgat_tpu.ops.pallas.segment_sum import LANE
+    from kgat_tpu.ops.pallas.segment_sum import (LANE, mask_dead_rows,
+                                                 prepare_aligned)
     from kgat_tpu.graph import ALIGN_BLOCK_ROWS
 
     def call(vals, chunk_arr, layout, n_segments):
-        e_al, d = vals.shape
-        precision = (jax.lax.Precision.DEFAULT
-                     if vals.dtype == jnp.bfloat16
-                     else jax.lax.Precision.HIGHEST)
-        if d > LANE or LANE % d != 0:
-            raise ValueError(f"feature dim {d} must divide {LANE}")
-        pack = LANE // d
+        if layout.n_chunks == 0:
+            raise ValueError("empty layout: ring bucket layouts are "
+                             "force_chunks-padded to >= 1 chunk")
+        packed, pack, d, chunk_rows, precision = prepare_aligned(
+            vals, layout, jax.lax.Precision.HIGHEST)
         ce = layout.chunk_edges
-        if e_al != layout.n_chunks * ce or layout.n_chunks == 0:
-            raise ValueError(f"vals length {e_al} != layout's "
-                             f"{layout.n_chunks} chunks x {ce}")
-        packed = vals.reshape(e_al // pack, LANE)
-        chunk_rows = ce // pack
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(layout.n_chunks,),
@@ -219,10 +187,7 @@ def make_reduce_send(axis_name: str, n_devices: int, *,
                 collective_id=collective_id, has_side_effects=True),
             interpret=interpret or False,
         )(layout.chunk_block, layout.bounds, packed, chunk_arr)
-        nonempty = (layout.bounds[:, :, 1]
-                    > layout.bounds[:, :, 0]).reshape(-1)
-        sums = sums * nonempty[:, None].astype(sums.dtype)
-        return sums[:n_segments], nxt
+        return mask_dead_rows(sums, layout, n_segments), nxt
 
     return call
 

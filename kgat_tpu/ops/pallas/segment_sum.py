@@ -41,8 +41,12 @@ from kgat_tpu.graph import ALIGN_BLOCK_ROWS, ALIGN_CHUNK_EDGES, AlignedLayout
 LANE = 128
 
 
-def _kernel(chunk_block_ref, bounds_ref, vals_ref, out_ref,
-            *, pack: int, d: int, chunk: int, precision):
+def accum_step(chunk_block_ref, bounds_ref, vals_ref, out_ref,
+               *, pack: int, d: int, chunk: int, precision):
+    """One grid step of the block-aligned one-hot reduce: accumulate this
+    chunk's contribution into the (revisited) output block. Shared by the
+    plain aligned kernel below and the fused reduce+send kernel
+    (ops/pallas/remote_ring.py) so the reduce math cannot diverge."""
     k = pl.program_id(0)
     blk = chunk_block_ref[k]
     first = jnp.logical_or(
@@ -78,6 +82,35 @@ def _kernel(chunk_block_ref, bounds_ref, vals_ref, out_ref,
     @pl.when(jnp.logical_not(first))
     def _():
         out_ref[:] += acc
+
+
+def prepare_aligned(vals: jax.Array, layout: AlignedLayout, precision):
+    """Validate + lane-pack an (E_al, d) aligned value stream for the
+    one-hot reduce kernels. Returns (packed, pack, d, chunk_rows,
+    precision) — bf16 degrades precision to DEFAULT (single-pass by
+    nature; HIGHEST bf16 dots are a Mosaic internal error)."""
+    e_al, d = vals.shape
+    if vals.dtype == jnp.bfloat16:
+        precision = jax.lax.Precision.DEFAULT
+    if d > LANE or LANE % d != 0:
+        raise ValueError(f"feature dim {d} must divide {LANE}")
+    pack = LANE // d
+    chunk = layout.chunk_edges
+    if e_al != layout.n_chunks * chunk:
+        raise ValueError(f"vals length {e_al} != layout's "
+                         f"{layout.n_chunks} chunks x {chunk}")
+    return vals.reshape(e_al // pack, LANE), pack, d, chunk // pack, precision
+
+
+def mask_dead_rows(out: jax.Array, layout: AlignedLayout,
+                   n_segments: int) -> jax.Array:
+    """Blocks with no chunks are never visited -> garbage rows; the
+    bounds mask (hi > lo) zeroes them (no-op for visited rows)."""
+    nonempty = (layout.bounds[:, :, 1] > layout.bounds[:, :, 0]).reshape(-1)
+    return (out * nonempty[:, None].astype(out.dtype))[:n_segments]
+
+
+_kernel = accum_step
 
 
 def _kernel_w(chunk_block_ref, bounds_ref, w_ref, vals_ref, out_ref,
@@ -245,20 +278,12 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
     out_dtype: output dtype, default f32 (accumulator dtype).
     """
     e_al, d = vals.shape
-    if vals.dtype == jnp.bfloat16:
-        precision = jax.lax.Precision.DEFAULT  # see segment_sum_packed
     out_dtype = jnp.float32 if out_dtype is None else out_dtype
-    if d > LANE or LANE % d != 0:
-        raise ValueError(f"feature dim {d} must divide {LANE}")
-    pack = LANE // d
-    chunk = layout.chunk_edges
-    if e_al != layout.n_chunks * chunk:
-        raise ValueError(f"vals length {e_al} != layout's "
-                         f"{layout.n_chunks} chunks x {chunk}")
-    if layout.n_chunks == 0:
+    if layout.n_chunks == 0 and e_al == 0:
         return jnp.zeros((n_segments, d), out_dtype)
-    packed = vals.reshape(e_al // pack, LANE)
-    chunk_rows = chunk // pack
+    packed, pack, d, chunk_rows, precision = prepare_aligned(
+        vals, layout, precision)
+    chunk = layout.chunk_edges
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -289,8 +314,4 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
             transcendentals=0,
         ),
     )(layout.chunk_block, layout.bounds, packed)
-    # Blocks with no chunks are never visited -> garbage rows; the bounds
-    # mask (hi > lo) zeroes them (and is a no-op for visited rows).
-    nonempty = (layout.bounds[:, :, 1] > layout.bounds[:, :, 0]).reshape(-1)
-    out = out * nonempty[:, None].astype(out.dtype)
-    return out[:n_segments]
+    return mask_dead_rows(out, layout, n_segments)

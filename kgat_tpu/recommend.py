@@ -34,16 +34,19 @@ from kgat_tpu.models.kgat import KGATConfig
 from kgat_tpu.utils.checkpoint import load_params
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
-def _score_users(cfg: KGATConfig, params, graph, user_nodes, mask_pairs,
-                 n_items: int, k: int):
-    """Forward once, then (U, n_items) scores -> per-user top-k.
-
-    mask_pairs: (M, 2) [row_in_batch, item] pairs to set to -inf (train
-    interactions of the requested users), padded with (U, 0)."""
+@functools.partial(jax.jit, static_argnums=(0,))
+def _forward(cfg: KGATConfig, params, graph):
     att = jax.lax.stop_gradient(kgat.compute_attention(params, graph, cfg))
-    all_embed = kgat.propagate(params, graph, att, cfg)
-    ue = all_embed[user_nodes]                      # (U, D)
+    return kgat.propagate(params, graph, att, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _score_block(all_embed, user_nodes, mask_pairs, n_items: int, k: int):
+    """(B, n_items) scores for one user block -> per-user top-k.
+
+    mask_pairs: (M, 2) [row_in_block, item] pairs to set to -inf (train
+    interactions of the block's users), padded with (B, 0) dead pairs."""
+    ue = all_embed[user_nodes]                      # (B, D)
     ie = all_embed[:n_items]                        # (n_items, D)
     scores = ue @ ie.T
     scores = scores.at[mask_pairs[:, 0], mask_pairs[:, 1]].set(
@@ -52,50 +55,94 @@ def _score_users(cfg: KGATConfig, params, graph, user_nodes, mask_pairs,
     return top_items, top_scores
 
 
+def _next_pow2(n: int) -> int:
+    p = 8
+    while p < n:
+        p *= 2
+    return p
+
+
 def recommend(params, graph, meta, cfg: KGATConfig,
               users: Sequence[int], *, k: int = 20,
-              train_user_dict: Optional[dict] = None):
+              train_user_dict: Optional[dict] = None, block: int = 2048):
     """Top-k (items, scores) for each user id. Pure-array API.
+
+    One forward, then blocked scoring (block users at a time — the full
+    (U, n_items) score matrix for all test users of amazon-book would be
+    ~7 GB; eval.py blocks for the same reason). User blocks and mask-pair
+    counts are padded to power-of-two buckets so repeated serving calls
+    hit the jit cache instead of retracing per request shape.
 
     train_user_dict: {user: np.ndarray of item ids} to exclude (the
     reference masks train interactions before ranking); None disables.
+    Entries whose score is -inf (fewer than k unmasked items) are
+    returned as-is; the CLI drops them from the output.
     """
     users = np.asarray(users, dtype=np.int64)
     if users.size == 0:
         raise ValueError("no users given")
     if (users < 0).any() or (users >= meta.n_users).any():
         raise ValueError(f"user ids must be in [0, {meta.n_users})")
-    user_nodes = jnp.asarray(meta.user_node(users), jnp.int32)
-    if train_user_dict:
-        rows, items = [], []
-        for i, u in enumerate(users):
-            tr = np.asarray(train_user_dict.get(int(u), ()), np.int64)
-            rows.append(np.full(tr.size, i))
-            items.append(tr)
-        rows = np.concatenate(rows) if rows else np.zeros(0, np.int64)
-        items = np.concatenate(items) if items else np.zeros(0, np.int64)
-        mask = np.stack([rows, items], axis=1).astype(np.int32)
-    else:
-        mask = np.zeros((0, 2), np.int32)
-    if mask.shape[0] == 0:
-        mask = np.full((1, 2), [len(users), 0], np.int32)  # dead pair
-    top_items, top_scores = _score_users(
-        cfg, params, graph, user_nodes, jnp.asarray(mask),
-        int(meta.n_items), int(k))
-    return np.asarray(top_items), np.asarray(top_scores)
+    n_rows, d0 = np.asarray(params["entity_embed"]).shape
+    if n_rows != meta.n_nodes:
+        raise ValueError(
+            f"checkpoint embedding table has {n_rows} rows but the built "
+            f"graph has {meta.n_nodes} nodes — wrong --dataset for this "
+            f"checkpoint?")
+    if d0 != cfg.embed_dim:
+        raise ValueError(f"checkpoint embed_dim {d0} != config "
+                         f"{cfg.embed_dim}")
+    all_embed = _forward(cfg, params, graph)
+
+    blk = min(block, _next_pow2(len(users)))
+    out_items = np.empty((len(users), k), np.int64)
+    out_scores = np.empty((len(users), k), np.float32)
+    for start in range(0, len(users), blk):
+        u_blk = users[start:start + blk]
+        n_valid = len(u_blk)
+        u_pad = np.concatenate(
+            [u_blk, np.zeros(blk - n_valid, np.int64)])
+        user_nodes = jnp.asarray(meta.user_node(u_pad), jnp.int32)
+        if train_user_dict:
+            rows, items = [], []
+            for i, u in enumerate(u_blk):
+                tr = np.asarray(train_user_dict.get(int(u), ()), np.int64)
+                rows.append(np.full(tr.size, i))
+                items.append(tr)
+            rows = np.concatenate(rows) if rows else np.zeros(0, np.int64)
+            items = (np.concatenate(items) if items
+                     else np.zeros(0, np.int64))
+            m_pad = _next_pow2(max(1, len(rows)))
+            mask = np.full((m_pad, 2), [blk, 0], np.int32)  # dead pairs
+            mask[: len(rows), 0] = rows
+            mask[: len(rows), 1] = items
+        else:
+            mask = np.full((8, 2), [blk, 0], np.int32)
+        top_items, top_scores = _score_block(
+            all_embed, user_nodes, jnp.asarray(mask),
+            int(meta.n_items), int(k))
+        out_items[start:start + n_valid] = np.asarray(
+            top_items)[:n_valid]
+        out_scores[start:start + n_valid] = np.asarray(
+            top_scores)[:n_valid]
+    return out_items, out_scores
 
 
-def _model_cfg_from_meta(meta_json: dict, ops_backend: str) -> KGATConfig:
-    m = meta_json.get("model")
+def _model_cfg_from_meta(meta_json: dict, ops_backend: str,
+                         overrides: dict) -> KGATConfig:
+    m = dict(meta_json.get("model") or {})
+    m.update({k: v for k, v in overrides.items() if v is not None})
     if not m:
         return KGATConfig(ops_backend=ops_backend)
-    return KGATConfig(embed_dim=int(m["embed_dim"]),
-                      relation_dim=int(m["relation_dim"]),
-                      conv_dims=tuple(int(d) for d in m["conv_dims"]),
-                      aggregator=str(m["aggregator"]),
-                      mess_dropout=tuple(float(x)
-                                         for x in m["mess_dropout"]),
-                      ops_backend=ops_backend)
+    base = KGATConfig()
+    return KGATConfig(
+        embed_dim=int(m.get("embed_dim", base.embed_dim)),
+        relation_dim=int(m.get("relation_dim", base.relation_dim)),
+        conv_dims=tuple(int(d) for d in m.get("conv_dims", base.conv_dims)),
+        aggregator=str(m.get("aggregator", base.aggregator)),
+        mess_dropout=tuple(float(x) for x in
+                           m.get("mess_dropout", base.mess_dropout)),
+        ops_backend=ops_backend)
 
 
 def main(argv=None) -> int:
@@ -117,6 +164,15 @@ def main(argv=None) -> int:
     p.add_argument("--ops-backend", default="ref", choices=["ref", "pallas"])
     p.add_argument("--out", default=None, help="output JSONL (default "
                                                "stdout)")
+    # Model hyperparameters: normally restored from the checkpoint's JSON
+    # sidecar; these override it (required for sidecar-less checkpoints
+    # trained with non-default hyperparameters).
+    p.add_argument("--embed-dim", type=int, default=None)
+    p.add_argument("--relation-dim", type=int, default=None)
+    p.add_argument("--conv-dims", default=None,
+                   help="comma-separated layer dims, e.g. 64,32,16")
+    p.add_argument("--aggregator", default=None,
+                   choices=["gcn", "graphsage", "bi-interaction"])
     a = p.parse_args(argv)
 
     params, meta_json = load_params(a.ckpt)
@@ -128,7 +184,11 @@ def main(argv=None) -> int:
     from kgat_tpu.data import load_dataset
     ds = load_dataset(a.data_root, dataset)
     graph, meta = ds.build(cache_dir=a.graph_cache)
-    cfg = _model_cfg_from_meta(meta_json, a.ops_backend)
+    overrides = {"embed_dim": a.embed_dim, "relation_dim": a.relation_dim,
+                 "aggregator": a.aggregator,
+                 "conv_dims": ([int(x) for x in a.conv_dims.split(",")]
+                               if a.conv_dims else None)}
+    cfg = _model_cfg_from_meta(meta_json, a.ops_backend, overrides)
 
     if a.users:
         users = [int(u) for u in a.users.split(",")]
@@ -141,10 +201,14 @@ def main(argv=None) -> int:
     out = open(a.out, "w") if a.out else sys.stdout
     try:
         for i, u in enumerate(users):
+            # Drop -inf entries: a user with fewer than k unmasked items
+            # gets a shorter list, not masked train items / non-RFC
+            # "-Infinity" values in the JSON.
+            finite = np.isfinite(scores[i])
             out.write(json.dumps({
                 "user": int(u),
-                "items": [int(x) for x in items[i]],
-                "scores": [round(float(s), 6) for s in scores[i]],
+                "items": [int(x) for x in items[i][finite]],
+                "scores": [round(float(s), 6) for s in scores[i][finite]],
             }) + "\n")
     finally:
         if a.out:

@@ -100,3 +100,53 @@ def test_recommend_cli_end_to_end(tmp_path, trained):
     for ln in lines:
         assert len(ln["items"]) == 4 and len(ln["scores"]) == 4
         assert all(isinstance(x, int) for x in ln["items"])
+
+
+def test_recommend_blocked_matches_unblocked(trained):
+    ds, g, meta, cfg, params = trained
+    users = sorted(ds.train_user_dict)[:13]
+    a_i, a_s = recommend(params, g, meta, cfg, users, k=5,
+                         train_user_dict=ds.train_user_dict, block=8)
+    b_i, b_s = recommend(params, g, meta, cfg, users, k=5,
+                         train_user_dict=ds.train_user_dict, block=2048)
+    np.testing.assert_array_equal(a_i, b_i)
+    np.testing.assert_allclose(a_s, b_s, rtol=1e-6)
+
+
+def test_recommend_rejects_mismatched_checkpoint(trained):
+    ds, g, meta, cfg, params = trained
+    bad = dict(params)
+    bad["entity_embed"] = np.asarray(params["entity_embed"])[:-3]
+    with pytest.raises(ValueError, match="rows but the built graph"):
+        recommend(bad, g, meta, cfg, [0], k=3)
+
+
+def test_recommend_cli_drops_exhausted_slots(tmp_path, trained):
+    """A user whose unmasked catalog is smaller than k gets a SHORT list:
+    no -Infinity in the JSON, no masked train items leaking."""
+    ds, g, meta, cfg, params = trained
+    from kgat_tpu.data import save_dataset
+    import dataclasses as dc
+    import optax
+    root = str(tmp_path / "data")
+    save_dataset(dc.replace(ds, name="tinyinf"), root)
+    ck = str(tmp_path / "run_best")
+    save_checkpoint(ck, params, optax.adam(1e-3).init(params), epoch=1,
+                    rng=jax.random.key(0),
+                    extra={"model": {"embed_dim": cfg.embed_dim,
+                                     "relation_dim": cfg.relation_dim,
+                                     "conv_dims": list(cfg.conv_dims),
+                                     "aggregator": cfg.aggregator,
+                                     "mess_dropout": list(cfg.mess_dropout)},
+                           "dataset": "tinyinf"})
+    u = sorted(ds.train_user_dict)[0]
+    out = str(tmp_path / "recs.jsonl")
+    rc = rec_main(["--ckpt", ck, "--data-root", root, "--users", str(u),
+                   "--k", str(meta.n_items), "--out", out])
+    assert rc == 0
+    ln = json.loads(open(out).read())
+    n_train = len(ds.train_user_dict[u])
+    assert len(ln["items"]) == meta.n_items - n_train
+    assert all(np.isfinite(ln["scores"]))
+    assert not set(ln["items"]) & set(int(x)
+                                      for x in ds.train_user_dict[u])

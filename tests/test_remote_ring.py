@@ -108,6 +108,9 @@ def test_reduce_send_matches_reduce_then_shift(mesh):
     # d=16 keeps the per-grid-step vals block at 32x128: the interpret
     # machinery deadlocks on >=64x128 input blocks under shard_map (CPU
     # emulation limit, not a kernel property — tpu_smoke covers real dims).
+    from jax._src.pallas.mosaic.interpret import (
+        interpret_pallas_call as _ipc)
+
     pltpu.reset_tpu_interpret_mode_state()
     ds = synthetic_dataset(seed=13, n_users=48, n_items=40, n_entities=72,
                            n_relations_kg=3, n_interactions=500,
@@ -136,7 +139,10 @@ def test_reduce_send_matches_reduce_then_shift(mesh):
         w_np[p][~live] = 0.0
     w = jnp.asarray(w_np)
 
-    fused = make_reduce_send(AXIS, N, interpret=True)
+    # Run under the vector-clock race detector: the fused kernel's
+    # barrier + cross-grid-step DMA choreography must be race-free too.
+    fused = make_reduce_send(
+        AXIS, N, interpret=pltpu.InterpretParams(detect_races=True))
 
     def run_fused(chunk, wv, node, seg, bounds, cb):
         import dataclasses as dc
@@ -171,3 +177,4 @@ def test_reduce_send_matches_reduce_then_shift(mesh):
         want = want * nonempty[:, None]
         got_p = np.asarray(sums).reshape(N, R, d)[p]
         np.testing.assert_allclose(got_p, want, rtol=1e-4, atol=1e-4)
+    assert _ipc.races is None or not _ipc.races.races_found
