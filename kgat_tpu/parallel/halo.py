@@ -139,7 +139,8 @@ class RingWeights:
 def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                      meta: CKGMeta, cfg: kgat.KGATConfig,
                      exchange: str = "allgather", ring_buckets=None,
-                     sel_halo=None, ring_transport: str = "ppermute"):
+                     sel_halo=None, ring_transport: str = "ppermute",
+                     dp_axis: str | None = None):
     """Build jitted partitioned attention / propagate / cf-step callables.
 
     exchange:
@@ -165,6 +166,13 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
       the chunk's remote DMA is launched at the bucket reduce's first grid
       step and waited at its last, so the ICI transfer is hidden under the
       MXU reduce by construction, not by the XLA scheduler.
+
+    dp_axis: name of a data-parallel mesh axis for a 2D (dp, ep) mesh —
+      the production pod layout: the graph and its exchanges shard over
+      `ep` (replicated across dp rows), while CF minibatches shard over
+      BOTH axes and loss/grad reductions psum over both. None (default)
+      = 1D ep-only mesh. The hand-rolled DMA transports currently assume
+      a 1D ring; use ppermute on 2D meshes.
     """
     N, n_pad, R = info.n_nodes_global, info.n_nodes_pad, info.rows_per_part
     nP = info.n_parts
@@ -182,6 +190,10 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
     extra = ring_buckets if ring else (sel_halo if a2a else None)
     if ring_transport not in ("ppermute", "dma", "fused"):
         raise ValueError(f"unknown ring_transport {ring_transport!r}")
+    if dp_axis is not None and ring_transport != "ppermute":
+        raise ValueError("ring_transport 'dma'/'fused' require a 1D ep "
+                         "mesh; use ppermute with a dp axis")
+    batch_axes = AXIS if dp_axis is None else (dp_axis, AXIS)
     _interp = jax.default_backend() != "tpu"
     if ring and ring_transport == "dma":
         from kgat_tpu.ops.pallas.remote_ring import make_ring_shift
@@ -286,7 +298,11 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                        + leaky((ego * side) @ layer["w2"] + layer["b2"]))
             if train and cfg.mess_dropout[li] > 0:
                 rng, sub = jax.random.split(rng)
-                sub = jax.random.fold_in(sub, p_idx)  # independent per shard
+                # Independent dropout per DEVICE (not just per ep shard:
+                # dp replicas hold the same rows but different batches).
+                fold = p_idx if dp_axis is None else (
+                    p_idx + nP * jax.lax.axis_index(dp_axis))
+                sub = jax.random.fold_in(sub, fold)
                 keep = 1.0 - cfg.mess_dropout[li]
                 m = jax.random.bernoulli(sub, keep, ego.shape)
                 ego = jnp.where(m, ego / keep, 0.0)
@@ -320,16 +336,16 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         pos = jnp.sum(ue * pe, -1)
         neg = jnp.sum(ue * ne, -1)
         bpr = -jax.nn.log_sigmoid(pos - neg) * w
-        n_valid = jnp.maximum(jax.lax.psum(jnp.sum(w), AXIS), 1.0)
-        loss = jax.lax.psum(jnp.sum(bpr), AXIS) / n_valid
+        n_valid = jnp.maximum(jax.lax.psum(jnp.sum(w), batch_axes), 1.0)
+        loss = jax.lax.psum(jnp.sum(bpr), batch_axes) / n_valid
         reg = jax.lax.psum(
             0.5 * (jnp.sum(ue ** 2) + jnp.sum(pe ** 2) + jnp.sum(ne ** 2)),
-            AXIS) / n_valid
+            batch_axes) / n_valid
         return loss + cfg.reg_cf * reg
 
     def cf_loss_smapped(params, ew_stack, u, ip, ineg, w, rng):
-        specs = (P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS),
-                 P(AXIS), P(AXIS), P())
+        PB = P(batch_axes)
+        specs = (P(AXIS), P(AXIS), P(), PB, PB, PB, PB, P())
         if extra is not None:
             smapped = jax.shard_map(
                 lambda g, e, p, uu, pp, nn, ww, rr, rb: cf_loss_inner(

@@ -244,24 +244,41 @@ class Trainer:
         src, dst, ety = coo["src"], coo["dst"], coo["etype"]
         from kgat_tpu.parallel.multihost import initialize_distributed
         initialize_distributed()  # no-op single-process; DCN group on pods
-        self.mesh = make_mesh(self.n_devices, axis=AXIS)
+        dp = max(1, cfg.dp_replicas)
+        if self.n_devices % dp:
+            raise ValueError(f"--dp-replicas {dp} must divide "
+                             f"--n-devices {self.n_devices}")
+        n_ep = self.n_devices // dp
+        if dp > 1:
+            # 2D (dp, ep) mesh: each dp row holds a full edge partition;
+            # CF/KG batches shard over both axes. Shard-per-device graph
+            # stacking (stack_pytrees) is 1D-mesh only — let jit place
+            # the replicated-over-dp graph leaves instead.
+            devs = jax.devices()[: self.n_devices]
+            self.mesh = jax.make_mesh((dp, n_ep), ("dp", AXIS),
+                                      devices=devs)
+            stack_mesh = None
+        else:
+            self.mesh = make_mesh(self.n_devices, axis=AXIS)
+            stack_mesh = self.mesh
         self.pgraph, self.pinfo = partition_graph(
-            src, dst, ety, meta.n_nodes, meta.n_relations, self.n_devices,
-            mesh=self.mesh)
+            src, dst, ety, meta.n_nodes, meta.n_relations, n_ep,
+            mesh=stack_mesh)
         ring_buckets = sel_halo = None
         if cfg.halo_exchange == "ring":
             from kgat_tpu.parallel.partition import build_ring_buckets
             ring_buckets = build_ring_buckets(src, dst, self.pinfo,
-                                              mesh=self.mesh)
+                                              mesh=stack_mesh)
         elif cfg.halo_exchange == "a2a":
             from kgat_tpu.parallel.partition import build_selective_halo
             sel_halo = build_selective_halo(src, dst, self.pinfo,
-                                            mesh=self.mesh)
+                                            mesh=stack_mesh)
         attention_p, propagate_eval_p, _make_cf_step, make_cf_scan = \
             make_partitioned(self.mesh, self.pgraph, self.pinfo, meta,
                              cfg.model, exchange=cfg.halo_exchange,
                              ring_buckets=ring_buckets, sel_halo=sel_halo,
-                             ring_transport=cfg.ring_transport)
+                             ring_transport=cfg.ring_transport,
+                             dp_axis="dp" if dp > 1 else None)
         self._attention = lambda params: attention_p(self.pgraph, params)[1]
         self._propagate_eval = propagate_eval_p
         # batch sizes must divide the device count
@@ -271,9 +288,10 @@ class Trainer:
         self._cf_epoch_part = _chunked_epoch(
             make_cf_scan(self.opt, self.cf_table, self._cf_bs),
             self.n_cf_batches, chunk=64, with_att=True)
+        kg_axis = ("dp", AXIS) if dp > 1 else AXIS
         self._kg_epoch_part = _chunked_epoch(
             make_dp_kg_scan(self.mesh, cfg.model, self.opt, self.kg_table,
-                            self._kg_bs, axis=AXIS),
+                            self._kg_bs, axis=kg_axis),
             self.n_kg_batches, chunk=512, with_att=False)
 
     def _partitioned_epoch(self, r_cf, r_kg, ew) -> Tuple[float, float]:

@@ -39,6 +39,9 @@ class TrainConfig:
     ckpt_path: Optional[str] = None     # defaults to <log_dir>/<run_name>_best
     resume: bool = False
     n_devices: int = 1                  # >1/0: edge-partitioned over mesh
+    dp_replicas: int = 1                # >1: 2D (dp, ep) mesh — n_devices
+                                        # split into dp_replicas batch-
+                                        # parallel groups of ep shards
     halo_exchange: str = "allgather"    # allgather | ring | a2a
     ring_transport: str = "ppermute"    # ppermute | dma | fused (ring only)
     pretrain_path: Optional[str] = None  # npz with user_embed/item_embed
@@ -118,6 +121,10 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--n-devices", type=int, default=None,
                    help="devices for edge-partitioned training; 0 = all")
+    p.add_argument("--dp-replicas", type=int, default=None,
+                   help="2D (dp, ep) mesh: split --n-devices into this "
+                        "many batch-parallel groups, each holding a full "
+                        "edge partition (pod layout)")
     p.add_argument("--halo-exchange", default=None,
                    choices=["allgather", "ring", "a2a"],
                    help="partitioned boundary exchange: per-layer "
@@ -148,6 +155,7 @@ def parse_args(argv=None) -> TrainConfig:
     for field in ("dataset", "data_root", "lr", "cf_batch_size",
                   "kg_batch_size", "epochs", "eval_every", "stopping_steps",
                   "k", "seed", "sampler", "log_dir", "run_name", "n_devices",
+                  "dp_replicas",
                   "halo_exchange", "ring_transport", "pretrain_path",
                   "profile_epochs",
                   "graph_cache", "syn_users",

@@ -441,3 +441,77 @@ def test_ring_fused_transport_matches_single(setup):
     np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p_p["entity_embed"]),
                                np.asarray(p_s["entity_embed"]), atol=2e-5)
+
+
+def test_2d_mesh_dp_ep_matches_single(setup):
+    """2D (dp, ep) mesh — the pod layout: each dp row holds a full edge
+    partition (graph replicated across dp), CF batches shard over BOTH
+    axes. The partitioned CF step must match the single-device update."""
+    g, meta, _mesh8, _pg8, _info8, cfg, params = setup
+    src = np.asarray(g.src)[: g.n_edges]
+    dst = np.asarray(g.dst)[: g.n_edges]
+    ety = np.asarray(g.etype)[: g.n_edges]
+    mesh2d = jax.make_mesh((2, 4), ("dp", AXIS))
+    pg, info = partition_graph(src, dst, ety, meta.n_nodes,
+                               meta.n_relations, 4)
+
+    cfg0 = KGATConfig(ops_backend="ref", mess_dropout=(0.0, 0.0, 0.0))
+    attention, propagate_eval, make_cf_step, _ = make_partitioned(
+        mesh2d, pg, info, meta, cfg0, dp_axis="dp")
+    _, ew = attention(pg, params)
+
+    att_s = kgat.compute_attention(params, g, cfg0)
+    emb_s = kgat.propagate(params, g, att_s, cfg0)
+    emb_p = propagate_eval(ew, params)
+    np.testing.assert_allclose(np.asarray(emb_p), np.asarray(emb_s),
+                               rtol=1e-4, atol=1e-4)
+
+    opt = optax.adam(1e-3)
+    B = 32
+    u = jnp.arange(B, dtype=jnp.int32) % meta.n_users
+    ip = jnp.arange(B, dtype=jnp.int32) % meta.n_items
+    ineg = (jnp.arange(B, dtype=jnp.int32) + 3) % meta.n_items
+    w = jnp.ones(B)
+    rng = jax.random.key(9)
+    step = make_cf_step(opt)
+    p_p, _, loss_p = step(jax.tree.map(jnp.copy, params),
+                          opt.init(params), ew, u, ip, ineg, w, rng)
+
+    @jax.jit
+    def single(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: kgat.cf_loss(p, g, att_s, meta, u, ip, ineg, cfg0,
+                                   rng=rng, train=True, weight=w))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), loss
+
+    p_s, loss_s = single(jax.tree.map(jnp.copy, params), opt.init(params))
+    np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_p["entity_embed"]),
+                               np.asarray(p_s["entity_embed"]), atol=2e-5)
+
+
+def test_2d_mesh_trainer_e2e(tmp_path):
+    """Trainer with --n-devices 8 --dp-replicas 2: 2x4 (dp, ep) mesh,
+    two epochs end to end with decreasing losses."""
+    from kgat_tpu.train import Trainer
+    from kgat_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        dataset="synthetic", epochs=2, eval_every=2, lr=5e-3,
+        cf_batch_size=64, kg_batch_size=64, n_devices=8, dp_replicas=2,
+        seed=5, log_dir=str(tmp_path),
+        syn_users=50, syn_items=40, syn_entities=80, syn_relations=3,
+        syn_interactions=500, syn_triples=400,
+        model=KGATConfig(aggregator="bi-interaction", conv_dims=(16, 8),
+                         mess_dropout=(0.1, 0.1), embed_dim=16,
+                         relation_dim=16, ops_backend="ref"),
+    )
+    tr = Trainer(cfg)
+    assert tr.partitioned and tr.pinfo.n_parts == 4
+    cf1, kg1 = tr.train_one_epoch()
+    cf2, kg2 = tr.train_one_epoch()
+    assert np.isfinite([cf1, cf2, kg1, kg2]).all()
+    assert cf2 < cf1 and kg2 < kg1
+    m = tr.evaluate()
+    assert 0 <= m["recall"] <= 1
