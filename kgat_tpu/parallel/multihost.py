@@ -65,26 +65,25 @@ def local_shard_ids(n_parts: int) -> list[int]:
 
 def stack_shards(shard_arrays, mesh, axis: str = "ep"):
     """Stack per-shard arrays along a new leading mesh axis, placing each
-    shard directly on its owning device.
+    shard directly on its owning device(s).
 
     shard_arrays: sequence covering ALL n_parts shards (host-side or
-    device arrays). Only this process's local devices' slices are
-    device_put; the rest are addressed by other processes. Returns a
-    global (n_parts, ...) jax.Array sharded P(axis) over the mesh.
+    device arrays). Only this process's addressable shards are
+    materialized; the rest are addressed by other processes. Works on any
+    mesh: with extra axes (e.g. a 2D (dp, ep) mesh) each shard is placed
+    on every device of its `axis` coordinate (replicated across the other
+    axes). Returns a global (n_parts, ...) jax.Array sharded P(axis).
     """
-    arrs = list(shard_arrays)
+    arrs = [np.asarray(a) for a in shard_arrays]
     sharding = NamedSharding(mesh, PartitionSpec(axis))
-    a0 = np.asarray(arrs[0])
-    global_shape = (len(arrs),) + a0.shape
-    n_local = len(mesh.local_devices)
-    start = jax.process_index() * n_local
-    locals_ = [
-        jax.device_put(np.asarray(arrs[start + i])[None], d)
-        for i, d in enumerate(mesh.local_devices)
-        if start + i < len(arrs)
-    ]
-    return jax.make_array_from_single_device_arrays(
-        global_shape, sharding, locals_)
+    global_shape = (len(arrs),) + arrs[0].shape
+
+    def cb(index):
+        s = index[0]
+        lo, hi, _ = s.indices(len(arrs))
+        return np.stack(arrs[lo:hi])
+
+    return jax.make_array_from_callback(global_shape, sharding, cb)
 
 
 def stack_pytrees(per_shard_trees, mesh, axis: str = "ep"):

@@ -80,6 +80,12 @@ def _needed_chunks(seg: np.ndarray, n_rows: int,
     return int(np.sum(-(-blk // chunk)))
 
 
+
+def _stack_axis(mesh) -> str:
+    """Mesh axis to stack shards over: the edge-partition axis ('ep')
+    when present (2D (dp, ep) meshes replicate across the rest)."""
+    return "ep" if "ep" in mesh.axis_names else mesh.axis_names[0]
+
 # Ring buckets hold ~E/P^2 edges each; a small chunk keeps their padding
 # (<= n_dst_blocks * chunk dead slots per bucket) proportionate.
 RING_CHUNK_EDGES = 256
@@ -161,7 +167,7 @@ def build_ring_buckets(src: np.ndarray, dst: np.ndarray,
         per_shard.append(jax.tree.map(lambda *xs: jnp.stack(xs), *steps))
     if mesh is not None:
         from kgat_tpu.parallel.multihost import stack_pytrees
-        return stack_pytrees(per_shard, mesh, axis=mesh.axis_names[0])
+        return stack_pytrees(per_shard, mesh, axis=_stack_axis(mesh))
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_shard)
 
 
@@ -288,7 +294,7 @@ def build_selective_halo(src: np.ndarray, dst: np.ndarray,
             fwd=fwd, rev=rev, halo_rows=H, table_rows=T))
     if mesh is not None:
         from kgat_tpu.parallel.multihost import stack_pytrees
-        return stack_pytrees(per_shard, mesh, axis=mesh.axis_names[0])
+        return stack_pytrees(per_shard, mesh, axis=_stack_axis(mesh))
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_shard)
 
 
@@ -344,7 +350,7 @@ def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
 
     if mesh is not None:
         from kgat_tpu.parallel.multihost import stack_pytrees
-        stacked = stack_pytrees(built, mesh, axis=mesh.axis_names[0])
+        stacked = stack_pytrees(built, mesh, axis=_stack_axis(mesh))
     else:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
     return stacked, info

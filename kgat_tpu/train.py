@@ -251,16 +251,15 @@ class Trainer:
         n_ep = self.n_devices // dp
         if dp > 1:
             # 2D (dp, ep) mesh: each dp row holds a full edge partition;
-            # CF/KG batches shard over both axes. Shard-per-device graph
-            # stacking (stack_pytrees) is 1D-mesh only — let jit place
-            # the replicated-over-dp graph leaves instead.
+            # CF/KG batches shard over both axes. Graph shards stack over
+            # the ep axis and replicate across dp rows (stack_shards
+            # places per-device shards via make_array_from_callback).
             devs = jax.devices()[: self.n_devices]
             self.mesh = jax.make_mesh((dp, n_ep), ("dp", AXIS),
                                       devices=devs)
-            stack_mesh = None
         else:
             self.mesh = make_mesh(self.n_devices, axis=AXIS)
-            stack_mesh = self.mesh
+        stack_mesh = self.mesh
         self.pgraph, self.pinfo = partition_graph(
             src, dst, ety, meta.n_nodes, meta.n_relations, n_ep,
             mesh=stack_mesh)
