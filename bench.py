@@ -233,6 +233,8 @@ def main(argv=None):
                         "gather+reduce streams, f32 MXU accumulation)")
     a = p.parse_args(argv)
 
+    from kgat_tpu.utils.device_guard import require_backend
+    require_backend()  # a wedged relay must error, not hang forever
     dev = jax.devices()[0]
     if dev.platform == "cpu" and a.backend == "pallas":
         # No Mosaic on CPU (and interpret mode is a correctness tool, not

@@ -175,6 +175,8 @@ def main(argv=None) -> int:
                    choices=["gcn", "graphsage", "bi-interaction"])
     a = p.parse_args(argv)
 
+    from kgat_tpu.utils.device_guard import require_backend
+    require_backend()  # a wedged relay must error, not hang forever
     params, meta_json = load_params(a.ckpt)
     dataset = a.dataset or meta_json.get("dataset")
     if not dataset or dataset == "synthetic":

@@ -437,6 +437,8 @@ class Trainer:
 
 def main(argv=None):
     cfg = parse_args(argv)
+    from kgat_tpu.utils.device_guard import require_backend
+    require_backend()  # a wedged relay must error, not hang forever
     trainer = Trainer(cfg)
     return trainer.train()
 
