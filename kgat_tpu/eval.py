@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kgat_tpu.graph import CKGMeta
-from kgat_tpu.utils.metrics import topk_metrics
+from kgat_tpu.utils.metrics import topk_metrics_multi
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,7 +78,7 @@ def make_eval_plan(train_user_dict: Dict[int, np.ndarray],
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
 def _run_eval(all_embed, user_rows, train_pairs, test_pairs, user_blocks,
-              n_items: int, k: int):
+              n_items: int, ks: tuple):
     item_embed = all_embed[:n_items]                  # (n_items, D)
     neg_inf = jnp.finfo(all_embed.dtype).min
 
@@ -90,7 +90,7 @@ def _run_eval(all_embed, user_rows, train_pairs, test_pairs, user_blocks,
         scores = scores.at[tr[:, 0], tr[:, 1]].set(neg_inf, mode="drop")
         test_mask = jnp.zeros_like(scores).at[te[:, 0], te[:, 1]].set(
             1.0, mode="drop")
-        m = topk_metrics(scores, test_mask, k)
+        m = topk_metrics_multi(scores, test_mask, ks)
         valid = m["valid"] * (ub >= 0)
         sums = {k_: jnp.sum(v * valid) for k_, v in m.items() if k_ != "valid"}
         sums["valid"] = jnp.sum(valid)
@@ -104,10 +104,22 @@ def _run_eval(all_embed, user_rows, train_pairs, test_pairs, user_blocks,
 
 
 def evaluate(all_embed: jax.Array, meta: CKGMeta, plan: EvalPlan,
-             k: int = 20) -> Dict[str, float]:
-    """Run the full blocked evaluation, jitted; returns scalar metrics."""
+             k: int = 20, ks: tuple = ()) -> Dict[str, float]:
+    """Run the full blocked evaluation, jitted; returns scalar metrics.
+
+    ``k`` is the primary cutoff (early stopping, plain-named keys);
+    ``ks`` adds extra cutoffs reported as ``recall@K``-style keys — the
+    reference's original release evaluates K in {20,40,60,80,100}. All
+    cutoffs share one ranking pass (prefix metrics at max K).
+    """
+    all_ks = tuple(dict.fromkeys((int(k), *(int(x) for x in ks))))
     ub = jnp.asarray(plan.user_blocks)
     user_rows = jnp.where(ub >= 0, meta.user_node(ub), 0)
     out = _run_eval(all_embed, user_rows, jnp.asarray(plan.train_pairs),
-                    jnp.asarray(plan.test_pairs), ub, plan.n_items, k)
-    return {k_: float(v) for k_, v in out.items()}
+                    jnp.asarray(plan.test_pairs), ub, plan.n_items, all_ks)
+    res = {k_: float(v) for k_, v in out.items()}
+    for name in ("recall", "ndcg", "precision", "hit"):
+        res[name] = res[f"{name}@{k}"]
+        if len(all_ks) == 1:
+            del res[f"{name}@{k}"]
+    return res

@@ -338,7 +338,7 @@ class Trainer:
         else:
             all_embed = self._all_embed(self.params, att)
         return evaluation.evaluate(all_embed, self.meta, self.eval_plan,
-                                   k=self.cfg.k)
+                                   k=self.cfg.k, ks=self.cfg.ks)
 
     # ------------------------------------------------------------------
     def ckpt_path(self) -> str:

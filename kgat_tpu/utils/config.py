@@ -30,6 +30,7 @@ class TrainConfig:
     eval_every: int = 10
     stopping_steps: int = 10            # bad evals on recall@K before stop
     k: int = 20
+    ks: tuple = ()                      # extra report-only cutoffs, e.g. (40, 100)
     test_block: int = 2048
     seed: int = 1234
     sampler: str = "device"             # device | host
@@ -114,6 +115,10 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--stopping-steps", type=int, default=None)
     p.add_argument("--k", type=int, default=None)
+    p.add_argument("--ks", default=None,
+                   help="comma-separated extra eval cutoffs (reference "
+                        "release reports K in 20,40,60,80,100); --k stays "
+                        "the early-stopping metric")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--sampler", default=None, choices=["device", "host"])
     p.add_argument("--log-dir", default=None)
@@ -166,6 +171,8 @@ def parse_args(argv=None) -> TrainConfig:
             setattr(cfg, field, v)
     if a.resume:
         cfg.resume = True
+    if a.ks:
+        cfg.ks = tuple(int(x) for x in a.ks.split(","))
 
     m = {}
     if a.aggregator:

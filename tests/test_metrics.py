@@ -28,3 +28,22 @@ def test_topk_metrics_perfect_and_empty():
     assert float(m["recall"][0]) == 1.0
     np.testing.assert_allclose(float(m["ndcg"][0]), 1.0)
     assert float(m["valid"][1]) == 0.0 and float(m["recall"][1]) == 0.0
+
+
+def test_topk_metrics_multi_matches_single_k():
+    from kgat_tpu.utils.metrics import topk_metrics_multi
+
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(7, 50)).astype(np.float32))
+    test_mask = jnp.asarray((rng.random((7, 50)) < 0.1).astype(np.float32))
+    multi = topk_metrics_multi(scores, test_mask, (5, 10, 20))
+    for k in (5, 10, 20):
+        single = topk_metrics(scores, test_mask, k=k)
+        for name in ("recall", "ndcg", "precision", "hit"):
+            np.testing.assert_allclose(
+                np.asarray(multi[f"{name}@{k}"]), np.asarray(single[name]),
+                rtol=1e-5, err_msg=f"{name}@{k}")
+    # monotone in K: recall/hit never decrease with a larger cutoff
+    assert np.all(np.asarray(multi["recall@20"])
+                  >= np.asarray(multi["recall@5"]) - 1e-7)
+    assert np.all(np.asarray(multi["hit@10"]) >= np.asarray(multi["hit@5"]))
