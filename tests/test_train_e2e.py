@@ -81,3 +81,12 @@ def test_reg_flags_and_packs():
     # default 3-layer config: spmm dims 64/64/32 -> packs {2, 4}.
     assert packs_for(KGATConfig()) == (2, 4)
 
+
+
+def test_ks_flag_reaches_eval_config():
+    from kgat_tpu.utils.config import parse_args
+
+    cfg = parse_args(["--preset", "smoke-gcn", "--ks", "20,40,100"])
+    assert cfg.ks == (20, 40, 100)
+    assert cfg.k == 20  # primary (early-stopping) cutoff unchanged
+    assert parse_args(["--preset", "smoke-gcn"]).ks == ()
