@@ -347,20 +347,54 @@ class Trainer:
         base = self.cfg.log_dir or "."
         return f"{base}/{self.cfg.run_name}_best"
 
+    def last_ckpt_path(self) -> str:
+        return self.ckpt_path() + "_last"
+
+    def _save_ckpt(self, path: str) -> None:
+        mc = self.cfg.model
+        save_checkpoint(path, self.params, self.opt_state,
+                        epoch=self.epoch, rng=self.rng,
+                        best_metric=self.best_metric,
+                        bad_evals=self.bad_evals,
+                        extra={"model": {
+                            "embed_dim": mc.embed_dim,
+                            "relation_dim": mc.relation_dim,
+                            "conv_dims": list(mc.conv_dims),
+                            "aggregator": mc.aggregator,
+                            "mess_dropout": list(mc.mess_dropout),
+                        }, "dataset": self.cfg.dataset})
+
+    def _resume(self) -> None:
+        """Restore from the newest of {best, last} checkpoints.
+
+        The best checkpoint only advances on eval improvement; the rolling
+        last checkpoint advances every eval, so a campaign killed between
+        improvements resumes from where it actually was (losing at most
+        eval_every epochs), with best_metric/bad_evals early-stop state
+        intact."""
+        states = []
+        for path in (self.ckpt_path(), self.last_ckpt_path()):
+            try:
+                states.append((load_checkpoint(path, self.params,
+                                               self.opt_state), path))
+            except FileNotFoundError:
+                pass
+        if not states:
+            self.logger.log("resume_missing")
+            return
+        (state, path) = max(states, key=lambda s: s[0][2]["epoch"])
+        self.params, self.opt_state, meta, self.rng = state
+        self.epoch = meta["epoch"]
+        self.best_metric = meta["best_metric"]
+        self.bad_evals = meta["bad_evals"]
+        self.logger.log("resume", epoch=self.epoch, best=self.best_metric,
+                        bad_evals=self.bad_evals, source=path)
+
     def train(self) -> dict:
         cfg = self.cfg
         g = self.graph
         if cfg.resume:
-            try:
-                self.params, self.opt_state, meta, self.rng = load_checkpoint(
-                    self.ckpt_path(), self.params, self.opt_state)
-                self.epoch = meta["epoch"]
-                self.best_metric = meta["best_metric"]
-                self.bad_evals = meta["bad_evals"]
-                self.logger.log("resume", epoch=self.epoch,
-                                best=self.best_metric)
-            except FileNotFoundError:
-                self.logger.log("resume_missing")
+            self._resume()
 
         self.logger.log("start", dataset=self.ds.name,
                         n_nodes=self.meta.n_nodes, n_edges=g.n_edges,
@@ -412,26 +446,17 @@ class Trainer:
                 if m["recall"] > self.best_metric:
                     self.best_metric = m["recall"]
                     self.bad_evals = 0
-                    mc = cfg.model
-                    save_checkpoint(self.ckpt_path(), self.params,
-                                    self.opt_state, epoch=self.epoch,
-                                    rng=self.rng,
-                                    best_metric=self.best_metric,
-                                    bad_evals=self.bad_evals,
-                                    extra={"model": {
-                                        "embed_dim": mc.embed_dim,
-                                        "relation_dim": mc.relation_dim,
-                                        "conv_dims": list(mc.conv_dims),
-                                        "aggregator": mc.aggregator,
-                                        "mess_dropout":
-                                            list(mc.mess_dropout),
-                                    }, "dataset": cfg.dataset})
+                    self._save_ckpt(self.ckpt_path())
                 else:
                     self.bad_evals += 1
-                    if self.bad_evals >= cfg.stopping_steps:
-                        self.logger.log("early_stop", epoch=self.epoch,
-                                        best=self.best_metric)
-                        break
+                # Rolling full-state checkpoint every eval: --resume picks
+                # the newest of {best, last}, so a kill between
+                # improvements costs at most eval_every epochs.
+                self._save_ckpt(self.last_ckpt_path())
+                if self.bad_evals >= cfg.stopping_steps:
+                    self.logger.log("early_stop", epoch=self.epoch,
+                                    best=self.best_metric)
+                    break
         return final
 
 

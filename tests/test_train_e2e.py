@@ -90,3 +90,37 @@ def test_ks_flag_reaches_eval_config():
     assert cfg.ks == (20, 40, 100)
     assert cfg.k == 20  # primary (early-stopping) cutoff unchanged
     assert parse_args(["--preset", "smoke-gcn"]).ks == ()
+
+
+def test_resume_prefers_newest_of_best_and_last(tmp_path):
+    """The rolling _last checkpoint advances every eval; --resume restores
+    from whichever of {best, last} has the higher epoch."""
+    cfg = _cfg(tmp_path, epochs=3)
+    cfg.eval_every = 1
+    tr = Trainer(cfg)
+    tr.train()
+    import json
+    import os
+    assert os.path.exists(tr.last_ckpt_path() + ".npz")
+    with open(tr.last_ckpt_path() + ".json") as f:
+        last_meta = json.load(f)
+    with open(tr.ckpt_path() + ".json") as f:
+        best_meta = json.load(f)
+    assert last_meta["epoch"] == 3            # saved on the final eval
+    assert last_meta["epoch"] >= best_meta["epoch"]
+    assert "model" in last_meta               # sidecar carries model config
+
+    cfg2 = _cfg(tmp_path, epochs=3)
+    cfg2.eval_every = 1
+    cfg2.resume = True
+    tr2 = Trainer(cfg2)
+    tr2._resume()
+    assert tr2.epoch == last_meta["epoch"]
+    assert tr2.best_metric == best_meta["best_metric"]
+    assert tr2.bad_evals == last_meta["bad_evals"]
+
+    # With only the best checkpoint present, resume falls back to it.
+    os.remove(tr.last_ckpt_path() + ".npz")
+    tr3 = Trainer(cfg2)
+    tr3._resume()
+    assert tr3.epoch == best_meta["epoch"]
