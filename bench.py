@@ -216,6 +216,43 @@ def roofline(graph, meta):
     return out
 
 
+def bench_serving(graph, meta, backend: str, iters: int, block: int = 2048,
+                  k: int = 20, compute_dtype: str = "bf16"):
+    """Serving-path throughput (kgat_tpu.recommend hot loop).
+
+    One jitted forward is amortized across requests; at volume the cost is
+    blocked scoring: (block, D) @ (D, n_items), train-mask, top-K. Reports
+    the forward latency and the steady-state scoring rate in users/s.
+    """
+    from kgat_tpu.models import kgat
+    from kgat_tpu.recommend import _forward, _score_block
+
+    cd = jnp.bfloat16 if (backend == "pallas"
+                          and compute_dtype == "bf16") else None
+    cfg = kgat.KGATConfig(ops_backend=backend, compute_dtype=cd)
+    params = kgat.init_params(jax.random.key(0), meta.n_nodes,
+                              meta.n_relations, cfg)
+    fwd_timed = jax.jit(lambda p, i: jnp.sum(
+        _forward(cfg, p, graph).astype(jnp.float32)) * 1e-20 + i)
+    t_fwd = median_time(fwd_timed, params, iters=iters)
+    all_embed = jax.jit(lambda p: _forward(cfg, p, graph))(params)
+
+    user_nodes = jnp.asarray(
+        meta.user_node(np.arange(block) % meta.n_users), jnp.int32)
+    mask = jnp.asarray(np.full((8, 2), [block, 0], np.int32))  # dead pairs
+    score_timed = jax.jit(lambda emb, un, i: jnp.sum(
+        _score_block(emb, un, mask, int(meta.n_items), k)[1]
+        .astype(jnp.float32)) * 1e-20 + i)
+    t_score = median_time(score_timed, all_embed, user_nodes, iters=iters)
+    return {
+        "serving_users_per_s": round(block / t_score),
+        "serving_t_forward_ms": round(t_fwd * 1e3, 3),
+        "serving_t_score_block_ms": round(t_score * 1e3, 3),
+        "serving_block": block,
+        "serving_k": k,
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="yelp2018", choices=sorted(PRESETS))
@@ -224,6 +261,9 @@ def main(argv=None):
                    help="also run the ref path and report speedup")
     p.add_argument("--roofline", action="store_true",
                    help="measure device limits and report stage efficiency")
+    p.add_argument("--serving", action="store_true",
+                   help="also measure the recommend path (users/s of "
+                        "blocked masked top-K scoring)")
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--compute-dtype", default="bf16",
@@ -291,6 +331,9 @@ def main(argv=None):
         "t_forward_ms": round(res["t_forward_s"] * 1e3, 3),
         **ref_fields,
     }
+    if a.serving:
+        out.update(bench_serving(graph, meta, a.backend, a.iters,
+                                 compute_dtype=a.compute_dtype))
     if a.roofline:
         out.update(roofline(graph, meta))
     print(json.dumps(out))

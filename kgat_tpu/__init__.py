@@ -13,6 +13,8 @@ Layer map (SURVEY.md §1, TPU-native restatement):
   model     -> kgat_tpu.models.kgat    (pure apply fns over a param pytree)
   parallel  -> kgat_tpu.parallel       (edge partitioning, halo exchange, DP)
   driver    -> kgat_tpu.train / eval   (alternating-phase trainer, metrics)
+  serving   -> kgat_tpu.recommend      (checkpoint -> masked top-K)
+  analysis  -> kgat_tpu.explain        (attention-path explanations)
 """
 
 __version__ = "0.1.0"
