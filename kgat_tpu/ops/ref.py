@@ -77,7 +77,7 @@ def spmm(graph: Graph, edge_w: jax.Array, x: jax.Array) -> jax.Array:
     return segment_sum(graph, msgs)
 
 
-MSG_OPS = ("copy_u", "copy_e", "u_mul_e", "u_add_e")
+MSG_OPS = ("copy_u", "copy_e", "u_mul_e", "u_add_e", "u_sub_e", "u_div_e")
 REDUCE_OPS = ("sum", "max", "min", "mean")
 
 
@@ -86,7 +86,7 @@ def gspmm(graph: Graph, msg: str, reduce: str, x=None, edge_w=None
     """Generalized g-SpMM: DGL's `update_all(fn.<msg>, fn.<reduce>)` surface
     (SURVEY.md §2.2 g-SpMM row; DGL python/dgl/ops/spmm.py, reconstructed).
 
-    msg in {copy_u, copy_e, u_mul_e, u_add_e}; reduce in
+    msg in {copy_u, copy_e, u_{mul,add,sub,div}_e}; reduce in
     {sum, max, min, mean}. x: (n_nodes, d) node features (required unless
     msg == copy_e); edge_w: (E_pad,) or (E_pad, d) edge data (required
     unless msg == copy_u). Returns (n_nodes, d) (or (n_nodes,) for scalar
@@ -103,7 +103,7 @@ def gspmm(graph: Graph, msg: str, reduce: str, x=None, edge_w=None
     else:
         u = x[graph.src]
         w = edge_w if edge_w.ndim == u.ndim else edge_w[:, None]
-        m = u * w if msg == "u_mul_e" else u + w
+        m = _BINOPS[msg[2:-2]](u, w)
     if reduce in ("sum", "mean"):
         # zero masked edges so pad slots can't poison sums
         mask = graph.edge_mask.reshape((-1,) + (1,) * (m.ndim - 1))
@@ -116,6 +116,49 @@ def gspmm(graph: Graph, msg: str, reduce: str, x=None, edge_w=None
     m = jnp.where(mask, m, fill)
     return segment_max(graph, m) if reduce == "max" \
         else segment_min(graph, m)
+
+
+_BINOPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "dot": lambda a, b: jnp.sum(a * b, axis=-1),
+}
+
+SDDMM_TARGETS = ("u", "v", "e")
+
+
+def gsddmm(graph: Graph, op: str, lhs: jax.Array, rhs: jax.Array,
+           lhs_target: str = "u", rhs_target: str = "v") -> jax.Array:
+    """Generalized g-SDDMM: DGL's `apply_edges(fn.<op>)` surface
+    (SURVEY.md §2.2 g-SDDMM row; DGL python/dgl/ops/sddmm.py,
+    reconstructed): per-edge `op(lhs, rhs)` where each operand lives on
+    the edge's source node (``u``), destination node (``v``), or the edge
+    itself (``e``).
+
+    op in {add, sub, mul, div, dot, copy_lhs, copy_rhs}; node operands are
+    (n_nodes, ...), edge operands (E_pad, ...). Returns (E_pad, ...)
+    ((E_pad,) for dot). Pad-edge slots hold garbage from the clamped
+    sentinel gather — downstream reducers mask by graph.edge_mask, same
+    contract as sddmm_dot / attention logits.
+    """
+    def fetch(val, target):
+        if target not in SDDMM_TARGETS:
+            raise ValueError(f"target {target!r} not in {SDDMM_TARGETS}")
+        if target == "u":
+            return val[graph.src]
+        if target == "v":
+            # Clamp the sentinel dst (n_nodes); pads are masked downstream.
+            return val[jnp.minimum(graph.dst, graph.n_nodes - 1)]
+        return val
+    if op == "copy_lhs":
+        return fetch(lhs, lhs_target)
+    if op == "copy_rhs":
+        return fetch(rhs, rhs_target)
+    if op not in _BINOPS:
+        raise ValueError(f"op {op!r} not in {tuple(_BINOPS)} + copy_*")
+    return _BINOPS[op](fetch(lhs, lhs_target), fetch(rhs, rhs_target))
 
 
 def sddmm_dot(graph: Graph, a: jax.Array, b: jax.Array) -> jax.Array:

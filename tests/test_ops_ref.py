@@ -89,7 +89,8 @@ def test_segment_softmax_handwritten_orientation():
     np.testing.assert_allclose(out[3], 1.0, rtol=1e-6)
 
 
-@pytest.mark.parametrize("msg", ["copy_u", "copy_e", "u_mul_e", "u_add_e"])
+@pytest.mark.parametrize("msg", ["copy_u", "copy_e", "u_mul_e", "u_add_e",
+                                 "u_sub_e", "u_div_e"])
 @pytest.mark.parametrize("reduce", ["sum", "max", "min", "mean"])
 @pytest.mark.parametrize("backend", ["ref", "pallas"])
 def test_gspmm_matches_oracle(rng, msg, reduce, backend):
@@ -101,8 +102,10 @@ def test_gspmm_matches_oracle(rng, msg, reduce, backend):
     d = 8
     x = rng.normal(size=(g.n_nodes, d)).astype(np.float32)
     w = rng.normal(size=g.n_edges_pad).astype(np.float32)
-    if msg in ("copy_e", "u_add_e"):
+    if msg in ("copy_e", "u_add_e", "u_sub_e"):
         wv = rng.normal(size=(g.n_edges_pad, d)).astype(np.float32)
+    elif msg == "u_div_e":
+        wv = (0.5 + rng.random(g.n_edges_pad)).astype(np.float32)  # nonzero
     else:
         wv = w
     if backend == "pallas":
@@ -128,10 +131,11 @@ def test_gspmm_matches_oracle(rng, msg, reduce, backend):
             m = x[src[sel]]
         elif msg == "copy_e":
             m = wv[sel]
-        elif msg == "u_mul_e":
-            m = x[src[sel]] * wv[sel][:, None]
         else:
-            m = x[src[sel]] + wv[sel]
+            we = wv[sel] if wv.ndim == 2 else wv[sel][:, None]
+            op = {"u_mul_e": np.multiply, "u_add_e": np.add,
+                  "u_sub_e": np.subtract, "u_div_e": np.divide}[msg]
+            m = op(x[src[sel]], we)
         rfn = {"sum": np.sum, "max": np.max, "min": np.min,
                "mean": np.mean}[reduce]
         want[v] = rfn(m, axis=0)
@@ -162,3 +166,35 @@ def test_sddmm_dot(rng):
     for e in range(g.n_edges):
         np.testing.assert_allclose(out[e], a[src[e]] @ b[dst[e]],
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "div", "dot",
+                                "copy_lhs", "copy_rhs"])
+@pytest.mark.parametrize("targets", [("u", "v"), ("u", "e"), ("e", "v"),
+                                     ("v", "u")])
+def test_gsddmm_matches_oracle(rng, op, targets):
+    """DGL apply_edges(fn.<op>) surface vs a per-edge loop oracle
+    (SURVEY.md §2.2 g-SDDMM row)."""
+    g = _random_graph(rng)
+    lt, rt = targets
+    d = 6
+
+    def operand(t):
+        n = g.n_nodes if t in ("u", "v") else g.n_edges_pad
+        a = rng.normal(size=(n, d)).astype(np.float32)
+        return a + 2.0 if op == "div" else a  # keep divisors away from 0
+
+    lhs, rhs = operand(lt), operand(rt)
+    out = np.asarray(ops.gsddmm(g, op, jnp.asarray(lhs), jnp.asarray(rhs),
+                                lhs_target=lt, rhs_target=rt))
+    src, dst = np.asarray(g.src), np.asarray(g.dst)
+
+    def at(val, t, e):
+        return val[src[e]] if t == "u" else (
+            val[dst[e]] if t == "v" else val[e])
+
+    for e in range(g.n_edges):
+        a, b = at(lhs, lt, e), at(rhs, rt, e)
+        want = {"add": a + b, "sub": a - b, "mul": a * b, "div": a / b,
+                "dot": np.sum(a * b), "copy_lhs": a, "copy_rhs": b}[op]
+        np.testing.assert_allclose(out[e], want, rtol=1e-5, atol=1e-5)
