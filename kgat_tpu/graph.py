@@ -56,12 +56,15 @@ def cross_layout_perms(att_gather: np.ndarray, fwd_gather: np.ndarray,
                        rev_gather: np.ndarray, n_edges: int, n_pad: int):
     """Cross-layout permutations for the fused attention pipeline.
 
-    Returns (att_to_fwd, fwd_from_att, rev_from_fwd): attention-layout
-    position -> forward aligned position, its inverse (forward position ->
-    attention position — the hot routing runs as a gather, since a scatter
-    of the same permutation serializes on TPU), and reverse-aligned
-    position -> forward position. Dead positions map one-past-the-end
-    (consumers use scatter mode='drop' / jnp.take mode='fill').
+    Returns (att_to_fwd, fwd_from_att, rev_from_fwd, canon_to_fwd):
+    attention-layout position -> forward aligned position, its inverse
+    (forward position -> attention position — the hot routing runs as a
+    gather, since a scatter of the same permutation serializes on TPU),
+    reverse-aligned position -> forward position, and canonical edge
+    slot -> forward aligned position (used to restage fused-softmax
+    weights into canonical order for the ring/a2a bucket layouts). Dead
+    positions map one-past-the-end (consumers use scatter mode='drop' /
+    jnp.take mode='fill').
     """
     e_al_fwd = len(fwd_gather)
     inv_fwd = np.full(n_pad + 1, e_al_fwd, np.int64)
@@ -74,7 +77,7 @@ def cross_layout_perms(att_gather: np.ndarray, fwd_gather: np.ndarray,
     fwd_from_att[att_to_fwd[valid]] = np.nonzero(valid)[0]
     rev_from_fwd = np.where(rev_gather < n_edges,
                             inv_fwd[np.minimum(rev_gather, n_pad)], e_al_fwd)
-    return att_to_fwd, fwd_from_att, rev_from_fwd
+    return att_to_fwd, fwd_from_att, rev_from_fwd, inv_fwd[:n_pad]
 
 
 def _stable_sort_perm(keys: np.ndarray, n_keys: int) -> np.ndarray:
@@ -109,6 +112,7 @@ class Graph:
     att_to_fwd: jax.Array   # (E_att_pad,) att pos -> fwd-aligned pos (pads -> E_al_fwd, OOB)
     fwd_from_att: jax.Array  # (E_al_fwd,) fwd pos -> att pos (dead -> E_att_pad, OOB)
     rev_from_fwd: jax.Array  # (E_al_rev,) rev pos -> fwd pos (dead -> OOB)
+    canon_to_fwd: jax.Array  # (E_pad,) canonical slot -> fwd pos (pads -> OOB)
 
     # --- static metadata (pytree aux) ---
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
@@ -417,7 +421,7 @@ def build_graph(
         np.concatenate(gather_parts) if gather_parts else np.zeros(0, np.int32)
     )
 
-    att_to_fwd, fwd_from_att, rev_from_fwd = cross_layout_perms(
+    att_to_fwd, fwd_from_att, rev_from_fwd, canon_to_fwd = cross_layout_perms(
         att_gather, host_array(fwd_layout, "gather"),
         host_array(rev_layout, "gather"), n_edges, n_pad)
 
@@ -433,6 +437,7 @@ def build_graph(
         att_to_fwd=jnp.asarray(att_to_fwd.astype(np.int32)),
         fwd_from_att=jnp.asarray(fwd_from_att.astype(np.int32)),
         rev_from_fwd=jnp.asarray(rev_from_fwd.astype(np.int32)),
+        canon_to_fwd=jnp.asarray(canon_to_fwd.astype(np.int32)),
         n_nodes=int(n_nodes),
         n_edges=n_edges,
         n_edges_pad=int(n_pad),
@@ -445,11 +450,12 @@ def build_graph(
         "att_to_fwd": att_to_fwd.astype(np.int32),
         "fwd_from_att": fwd_from_att.astype(np.int32),
         "rev_from_fwd": rev_from_fwd.astype(np.int32),
+        "canon_to_fwd": canon_to_fwd.astype(np.int32),
     })
     return g
 
 
-GRAPH_CACHE_VERSION = 2  # bump when the Graph/AlignedLayout schema changes
+GRAPH_CACHE_VERSION = 3  # bump when the Graph/AlignedLayout schema changes
 
 
 def _layout_host_arrays(layout: "AlignedLayout", prefix: str) -> dict:
@@ -509,6 +515,7 @@ def save_graph(path: str, g: Graph, meta: "CKGMeta | None" = None) -> str:
         "att_to_fwd": host_array(g, "att_to_fwd"),
         "fwd_from_att": host_array(g, "fwd_from_att"),
         "rev_from_fwd": host_array(g, "rev_from_fwd"),
+        "canon_to_fwd": host_array(g, "canon_to_fwd"),
         **_layout_host_arrays(g.fwd_layout, "fwd"),
         **_layout_host_arrays(g.rev_layout, "rev"),
         "statics_json": np.frombuffer(
@@ -540,7 +547,7 @@ def load_graph(path: str) -> "Tuple[Graph, CKGMeta | None]":
                          f"{GRAPH_CACHE_VERSION}")
     host = {k: np.asarray(z[k]) for k in
             ("src", "dst", "etype", "edge_mask", "att_gather", "row_offsets",
-             "att_to_fwd", "fwd_from_att", "rev_from_fwd")}
+             "att_to_fwd", "fwd_from_att", "rev_from_fwd", "canon_to_fwd")}
     g = Graph(
         src=jnp.asarray(host["src"]),
         dst=jnp.asarray(host["dst"]),
@@ -553,6 +560,7 @@ def load_graph(path: str) -> "Tuple[Graph, CKGMeta | None]":
         att_to_fwd=jnp.asarray(np.asarray(z["att_to_fwd"])),
         fwd_from_att=jnp.asarray(np.asarray(z["fwd_from_att"])),
         rev_from_fwd=jnp.asarray(np.asarray(z["rev_from_fwd"])),
+        canon_to_fwd=jnp.asarray(np.asarray(z["canon_to_fwd"])),
         n_nodes=int(statics["n_nodes"]),
         n_edges=int(statics["n_edges"]),
         n_edges_pad=int(statics["n_edges_pad"]),

@@ -36,11 +36,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from kgat_tpu.ops.pallas.runtime import resolve_interpret
+
 _MESH = pltpu.DeviceIdType.MESH
 
 
+def _ring_dev(axis_name: str, mesh_axes, target):
+    """Full mesh-coordinate device id: the ring axis takes `target`,
+    every other mesh axis keeps this device's own index — rings on a 2D
+    (dp, ep) pod mesh run independently per dp row."""
+    return tuple(target if a == axis_name else jax.lax.axis_index(a)
+                 for a in mesh_axes)
+
+
 def _shift_kernel(x_ref, o_ref, send_sem, recv_sem, *, axis_name: str,
-                  n: int, step: int):
+                  mesh_axes, n: int, step: int):
     """Copy my buffer to the neighbor `step` hops to the right (mod n)."""
     my = jax.lax.axis_index(axis_name)
     left = jax.lax.rem(my + n - 1, n)
@@ -52,28 +62,31 @@ def _shift_kernel(x_ref, o_ref, send_sem, recv_sem, *, axis_name: str,
     # The barrier semaphore is persistent per collective_id, so signals
     # arriving before the neighbor enters are accumulated, not lost.
     barrier = pltpu.get_barrier_semaphore()
-    pltpu.semaphore_signal(barrier, 1, device_id=(left,),
+    pltpu.semaphore_signal(barrier, 1,
+                           device_id=_ring_dev(axis_name, mesh_axes, left),
                            device_id_type=_MESH)
-    pltpu.semaphore_signal(barrier, 1, device_id=(right,),
+    pltpu.semaphore_signal(barrier, 1,
+                           device_id=_ring_dev(axis_name, mesh_axes, right),
                            device_id_type=_MESH)
     pltpu.semaphore_wait(barrier, 2)
 
     op = pltpu.make_async_remote_copy(
         src_ref=x_ref, dst_ref=o_ref, send_sem=send_sem, recv_sem=recv_sem,
-        device_id=(dst,), device_id_type=_MESH)
+        device_id=_ring_dev(axis_name, mesh_axes, dst),
+        device_id_type=_MESH)
     op.start()
     op.wait()
 
 
 def _build_shift(axis_name: str, n: int, step: int, collective_id: int,
-                 interpret):
-    if interpret is True:
-        interpret = pltpu.InterpretParams()
+                 interpret, mesh_axes=None):
+    interpret = resolve_interpret(interpret)
+    mesh_axes = (axis_name,) if mesh_axes is None else tuple(mesh_axes)
 
     def call(x):
         return pl.pallas_call(
-            functools.partial(_shift_kernel, axis_name=axis_name, n=n,
-                              step=step),
+            functools.partial(_shift_kernel, axis_name=axis_name,
+                              mesh_axes=mesh_axes, n=n, step=step),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -89,7 +102,7 @@ def _build_shift(axis_name: str, n: int, step: int, collective_id: int,
 def _reduce_send_kernel(chunk_block_ref, bounds_ref, vals_ref, x_ref,
                         out_ref, next_ref, send_sem, recv_sem, *,
                         pack: int, d: int, chunk: int, n_chunks: int,
-                        precision, axis_name: str, n: int):
+                        precision, axis_name: str, mesh_axes, n: int):
     """One grid step of the fused bucket-reduce + neighbor-send.
 
     The reduction body mirrors segment_sum._kernel (block-aligned one-hot
@@ -106,14 +119,20 @@ def _reduce_send_kernel(chunk_block_ref, bounds_ref, vals_ref, x_ref,
     right = jax.lax.rem(my + 1, n)
     copy = pltpu.make_async_remote_copy(
         src_ref=x_ref, dst_ref=next_ref, send_sem=send_sem,
-        recv_sem=recv_sem, device_id=(right,), device_id_type=_MESH)
+        recv_sem=recv_sem,
+        device_id=_ring_dev(axis_name, mesh_axes, right),
+        device_id_type=_MESH)
 
     @pl.when(k == 0)
     def _():
         barrier = pltpu.get_barrier_semaphore()
-        pltpu.semaphore_signal(barrier, 1, device_id=(left,),
+        pltpu.semaphore_signal(barrier, 1,
+                               device_id=_ring_dev(axis_name, mesh_axes,
+                                                   left),
                                device_id_type=_MESH)
-        pltpu.semaphore_signal(barrier, 1, device_id=(right,),
+        pltpu.semaphore_signal(barrier, 1,
+                               device_id=_ring_dev(axis_name, mesh_axes,
+                                                   right),
                                device_id_type=_MESH)
         pltpu.semaphore_wait(barrier, 2)
         copy.start()
@@ -127,7 +146,8 @@ def _reduce_send_kernel(chunk_block_ref, bounds_ref, vals_ref, x_ref,
 
 
 def make_reduce_send(axis_name: str, n_devices: int, *,
-                     collective_id: int = 0, interpret=False):
+                     collective_id: int = 0, interpret=None,
+                     mesh_axes=None):
     """Fused ring step: segment-reduce this bucket WHILE shipping the
     activation chunk to the right neighbor over an explicit remote DMA.
 
@@ -140,8 +160,8 @@ def make_reduce_send(axis_name: str, n_devices: int, *,
     custom_vjp (parallel/halo.py) whose bwd is the reverse-layout reduce
     plus the reverse-direction shift of the next-chunk cotangent.
     """
-    if interpret is True:
-        interpret = pltpu.InterpretParams()
+    interpret = resolve_interpret(interpret)
+    mesh_axes = (axis_name,) if mesh_axes is None else tuple(mesh_axes)
     from kgat_tpu.ops.pallas.segment_sum import (LANE, mask_dead_rows,
                                                  prepare_aligned)
     from kgat_tpu.graph import ALIGN_BLOCK_ROWS
@@ -176,7 +196,7 @@ def make_reduce_send(axis_name: str, n_devices: int, *,
             functools.partial(
                 _reduce_send_kernel, pack=pack, d=d, chunk=ce,
                 n_chunks=layout.n_chunks, precision=precision,
-                axis_name=axis_name, n=n_devices),
+                axis_name=axis_name, mesh_axes=mesh_axes, n=n_devices),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(
@@ -193,7 +213,8 @@ def make_reduce_send(axis_name: str, n_devices: int, *,
 
 
 def make_ring_shift(axis_name: str, n_devices: int, *,
-                    collective_id: int = 0, interpret=False):
+                    collective_id: int = 0, interpret=None,
+                    mesh_axes=None):
     """Differentiable ring shift: device i receives device (i-1)%n's array.
 
     Equivalent to ``lax.ppermute(x, axis_name, [(i, (i+1) % n)])``; must be
@@ -202,16 +223,17 @@ def make_ring_shift(axis_name: str, n_devices: int, *,
     collective_id; the halo ring's shifts are sequentially ordered, so a
     single id is safe.
 
-    interpret: False (real Mosaic compile), True (default TPU interpret
-    emulation — CPU CI), or a `pltpu.InterpretParams` instance (e.g.
-    ``detect_races=True`` to run the DMA under the interpreter's
+    interpret: None (auto — Mosaic compile on TPU, the TPU interpret
+    machinery elsewhere), False (force a real compile), True (force the
+    interpret emulation — CPU CI), or a `pltpu.InterpretParams` instance
+    (e.g. ``detect_races=True`` to run the DMA under the interpreter's
     vector-clock race detector — the TSAN analog for kernel comms).
     """
     fwd_call = _build_shift(axis_name, n_devices, 1, collective_id,
-                            interpret)
+                            interpret, mesh_axes)
     # Transpose: out_j = x_{j-1}  =>  dx_j = g_{j+1}: send g one hop LEFT.
     bwd_call = _build_shift(axis_name, n_devices, -1, collective_id,
-                            interpret)
+                            interpret, mesh_axes)
 
     @jax.custom_vjp
     def shift(x):

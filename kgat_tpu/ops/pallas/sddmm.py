@@ -24,6 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from kgat_tpu.ops.pallas.runtime import resolve_interpret
+
 
 def _kernel(tile_rel_ref, eh_ref, et_ref, w_ref, er_ref, out_ref,
             *, precision):
@@ -44,7 +46,7 @@ def _kernel(tile_rel_ref, eh_ref, et_ref, w_ref, er_ref, out_ref,
 def sddmm_transr(eh: jax.Array, et: jax.Array, w_rel: jax.Array,
                  rel_embed: jax.Array, tile_rel: jax.Array, tile: int,
                  *, precision=jax.lax.Precision.HIGHEST,
-                 interpret: bool = False) -> jax.Array:
+                 interpret=None) -> jax.Array:
     """Per-edge TransR attention logits, relation-blocked.
 
     eh/et: (E_att_pad, d) head/tail embeddings already gathered into the
@@ -83,7 +85,7 @@ def sddmm_transr(eh: jax.Array, et: jax.Array, w_rel: jax.Array,
         functools.partial(_kernel, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((e_att // 128, 128), eh.dtype),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
         cost_estimate=pl.CostEstimate(
             flops=4 * e_att * d * k,
             bytes_accessed=2 * e_att * d * eh.dtype.itemsize + e_att * 4,
@@ -150,7 +152,7 @@ def sddmm_transr_bwd(g: jax.Array, eh: jax.Array, et: jax.Array,
                      w_rel: jax.Array, rel_embed: jax.Array,
                      tile_rel: jax.Array, tile: int,
                      *, precision=jax.lax.Precision.HIGHEST,
-                     interpret: bool = False):
+                     interpret=None):
     """Gradients of sddmm_transr wrt (eh, et, w_rel, rel_embed).
 
     g: (E_att_pad,) cotangent (MUST be zero at dead positions — guaranteed
@@ -199,7 +201,7 @@ def sddmm_transr_bwd(g: jax.Array, eh: jax.Array, et: jax.Array,
             jax.ShapeDtypeStruct((n_rel, d, k), w_rel.dtype),
             jax.ShapeDtypeStruct((n_rel, 8, k), rel_embed.dtype),
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(tile_rel, g2, eh, et, w_rel, er3)
     # Relations with no tiles are never visited -> garbage blocks; mask.
     present = jnp.zeros((n_rel,), bool).at[tile_rel].set(True)

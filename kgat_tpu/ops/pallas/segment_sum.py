@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kgat_tpu.graph import ALIGN_BLOCK_ROWS, ALIGN_CHUNK_EDGES, AlignedLayout
+from kgat_tpu.ops.pallas.runtime import resolve_interpret
 
 LANE = 128
 
@@ -105,9 +106,11 @@ def prepare_aligned(vals: jax.Array, layout: AlignedLayout, precision):
 def mask_dead_rows(out: jax.Array, layout: AlignedLayout,
                    n_segments: int) -> jax.Array:
     """Blocks with no chunks are never visited -> garbage rows; the
-    bounds mask (hi > lo) zeroes them (no-op for visited rows)."""
+    bounds mask (hi > lo) zeroes them (no-op for visited rows). A select,
+    not a multiply: the interpret machinery fills unwritten memory with
+    NaN and NaN*0 stays NaN (real-TPU garbage is finite either way)."""
     nonempty = (layout.bounds[:, :, 1] > layout.bounds[:, :, 0]).reshape(-1)
-    return (out * nonempty[:, None].astype(out.dtype))[:n_segments]
+    return jnp.where(nonempty[:, None], out, 0)[:n_segments]
 
 
 _kernel = accum_step
@@ -159,7 +162,7 @@ def segment_sum_packed(packed: jax.Array, w_t: jax.Array,
                        layout: AlignedLayout, n_segments: int,
                        *, precision=jax.lax.Precision.HIGHEST,
                        out_dtype=None,
-                       interpret: bool = False) -> jax.Array:
+                       interpret=None) -> jax.Array:
     """Weighted segment sum over pre-packed gathered features.
 
     packed: (E_al/pack, 128) lane-packed features, row r lanes
@@ -219,7 +222,7 @@ def segment_sum_packed(packed: jax.Array, w_t: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (layout.n_blocks * ALIGN_BLOCK_ROWS, d), out_dtype),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
         cost_estimate=pl.CostEstimate(
             flops=2 * e_al * ALIGN_BLOCK_ROWS * d,
             bytes_accessed=e_al * d * packed.dtype.itemsize
@@ -228,9 +231,7 @@ def segment_sum_packed(packed: jax.Array, w_t: jax.Array,
             transcendentals=0,
         ),
     )(layout.chunk_block, layout.bounds, w_t.astype(jnp.float32), packed)
-    nonempty = (layout.bounds[:, :, 1] > layout.bounds[:, :, 0]).reshape(-1)
-    out = out * nonempty[:, None].astype(out.dtype)
-    return out[:n_segments]
+    return mask_dead_rows(out, layout, n_segments)
 
 
 def pack_gathered(x: jax.Array, layout: AlignedLayout,
@@ -257,7 +258,7 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
                         n_segments: int,
                         *, precision=jax.lax.Precision.HIGHEST,
                         out_dtype=None,
-                        interpret: bool = False) -> jax.Array:
+                        interpret=None) -> jax.Array:
     """Sum block-aligned `vals` into their segments. Returns (n_segments, d).
 
     vals: (E_al, d) values already in the layout's aligned edge order (use
@@ -305,7 +306,7 @@ def segment_sum_aligned(vals: jax.Array, layout: AlignedLayout,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (layout.n_blocks * ALIGN_BLOCK_ROWS, d), out_dtype),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
         cost_estimate=pl.CostEstimate(
             flops=2 * e_al * ALIGN_BLOCK_ROWS * d,
             bytes_accessed=e_al * d * vals.dtype.itemsize

@@ -30,6 +30,7 @@ import functools
 
 from kgat_tpu.graph import ALIGN_BLOCK_ROWS as B
 from kgat_tpu.graph import AlignedLayout
+from kgat_tpu.ops.pallas.runtime import resolve_interpret
 
 LANE = 128
 NEG = -3.0e38                 # ~f32 lowest; avoids inf arithmetic
@@ -121,7 +122,7 @@ def _norm_kernel(cb_ref, bounds_ref, exp_ref, den_ref, out_ref,
 
 
 def segment_softmax_aligned(logits: jax.Array, layout: AlignedLayout,
-                            *, interpret: bool = False) -> jax.Array:
+                            *, interpret=None) -> jax.Array:
     """Per-segment softmax of forward-aligned logits -> aligned weights.
 
     logits: (E_al,) in the layout's aligned order; dead positions may hold
@@ -134,6 +135,7 @@ def segment_softmax_aligned(logits: jax.Array, layout: AlignedLayout,
         raise ValueError("logits length does not match layout chunks")
     packed = logits.reshape(e_al // LANE, LANE).astype(jnp.float32)
     n_blocks = layout.n_blocks
+    interpret = resolve_interpret(interpret)
 
     def call(kernel, ins, outs, in_specs, out_specs):
         return pl.pallas_call(
@@ -211,13 +213,14 @@ def _dlogit_kernel(cb_ref, bounds_ref, w_ref, g_ref, sum_ref, out_ref,
 
 def segment_softmax_aligned_bwd(w: jax.Array, g: jax.Array,
                                 layout: AlignedLayout,
-                                *, interpret: bool = False) -> jax.Array:
+                                *, interpret=None) -> jax.Array:
     """d_logits given softmax output w and cotangent g (both (E_al,))."""
     e_al = w.shape[0]
     chunk = layout.chunk_edges
     rows = chunk // LANE
     wp = w.reshape(e_al // LANE, LANE).astype(jnp.float32)
     gp = g.reshape(e_al // LANE, LANE).astype(jnp.float32)
+    interpret = resolve_interpret(interpret)
 
     def call(kernel, ins, outs, in_specs, out_specs):
         return pl.pallas_call(

@@ -259,13 +259,18 @@ def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:
 
 
 def _att_tile(graph: Graph) -> int:
-    """Largest tile (<=1024, multiple of 1024 for the lane-packed output)
-    dividing every relation block."""
-    sizes = [p for (_, _, _, p) in graph.rel_blocks]
-    if any(s % 1024 for s in sizes):
+    """Largest tile (<=1024, multiple of 128 for the lane-packed output)
+    dividing every relation block. Production graphs build with
+    rel_block=1024 -> tile 1024; interpret-mode CI graphs use smaller
+    relation blocks to stay inside the CPU emulation's block limits."""
+    import math
+    tile = 1024
+    for (_, _, _, p) in graph.rel_blocks:
+        tile = math.gcd(tile, p)
+    if tile % 128:
         raise ValueError("relation blocks not tile-aligned; rebuild the "
-                         "graph with rel_block a multiple of 1024")
-    return 1024
+                         "graph with rel_block a multiple of 128")
+    return tile
 
 
 def _tile_rel_ids(graph: Graph, tile: int) -> jax.Array:

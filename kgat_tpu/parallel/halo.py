@@ -40,9 +40,10 @@ def _local(tree):
 
 # ---------------------------------------------------------------------------
 # Partitioned SpMM: (n_pad, d) replicated features -> (R, d) owned rows.
-# Two reduce flavors over the same AlignedLayout: the Pallas kernel (TPU)
-# and a plain XLA segment_sum (CPU tests / debugging — interpret-mode
-# Pallas inside shard_map hangs on the CPU backend).
+# Two reduce flavors over the same AlignedLayout: the Pallas kernel
+# (Mosaic on TPU; the TPU interpret machinery emulates it inside shard_map
+# on CPU meshes — ops/pallas/runtime.py) and a plain XLA segment_sum (the
+# ref backend / oracle path).
 # ---------------------------------------------------------------------------
 
 def _xla_reduce(layout, w_aligned, x, n_out, w_t=None):
@@ -82,7 +83,8 @@ def _make_pspmm(backend: str):
     return pspmm
 
 
-def _make_pspmm_send(backend: str, n_devices: int, interpret: bool):
+def _make_pspmm_send(backend: str, n_devices: int, interpret,
+                     mesh_axes=None):
     """Fused ring step with autograd: (bucket reduce + chunk send) in one
     Pallas kernel (ops/pallas/remote_ring.py). Linear op; the VJP is the
     reverse-layout reduce of the side cotangent plus the reverse-direction
@@ -91,8 +93,9 @@ def _make_pspmm_send(backend: str, n_devices: int, interpret: bool):
                                                  make_reduce_send)
 
     reduce_ = pb._layout_reduce if backend == "pallas" else _xla_reduce
-    fused = make_reduce_send(AXIS, n_devices, interpret=interpret)
-    left_shift = _build_shift(AXIS, n_devices, -1, 0, interpret)
+    fused = make_reduce_send(AXIS, n_devices, interpret=interpret,
+                             mesh_axes=mesh_axes)
+    left_shift = _build_shift(AXIS, n_devices, -1, 0, interpret, mesh_axes)
 
     @jax.custom_vjp
     def pspmm_send(w_fwd, w_rev, chunk, fwd_layout, rev_layout):
@@ -171,8 +174,9 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
       the production pod layout: the graph and its exchanges shard over
       `ep` (replicated across dp rows), while CF minibatches shard over
       BOTH axes and loss/grad reductions psum over both. None (default)
-      = 1D ep-only mesh. The hand-rolled DMA transports currently assume
-      a 1D ring; use ppermute on 2D meshes.
+      = 1D ep-only mesh. All three ring transports work on 2D meshes:
+      the DMA kernels address peers by full mesh coordinates, so each dp
+      row runs its own independent ring.
     """
     N, n_pad, R = info.n_nodes_global, info.n_nodes_pad, info.rows_per_part
     nP = info.n_parts
@@ -190,23 +194,59 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
     extra = ring_buckets if ring else (sel_halo if a2a else None)
     if ring_transport not in ("ppermute", "dma", "fused"):
         raise ValueError(f"unknown ring_transport {ring_transport!r}")
-    if dp_axis is not None and ring_transport != "ppermute":
-        raise ValueError("ring_transport 'dma'/'fused' require a 1D ep "
-                         "mesh; use ppermute with a dp axis")
     batch_axes = AXIS if dp_axis is None else (dp_axis, AXIS)
-    _interp = jax.default_backend() != "tpu"
+    # interpret=None: kernels auto-resolve (Mosaic on TPU, the TPU
+    # interpret machinery on CPU meshes — ops/pallas/runtime.py).
+    _interp = None
+    # On a 2D (dp, ep) pod mesh the ring runs per dp row: the DMA kernels
+    # address peers by full mesh coordinates (ring axis varies, dp index
+    # stays own — ops/pallas/remote_ring._ring_dev).
+    _maxes = (None if dp_axis is None else (dp_axis, AXIS))
     if ring and ring_transport == "dma":
         from kgat_tpu.ops.pallas.remote_ring import make_ring_shift
-        _ring_shift = make_ring_shift(AXIS, nP, interpret=_interp)
+        _ring_shift = make_ring_shift(AXIS, nP, interpret=_interp,
+                                      mesh_axes=_maxes)
     else:
         _perm = [(i, (i + 1) % nP) for i in range(nP)]
         _ring_shift = lambda v: jax.lax.ppermute(v, AXIS, _perm)  # noqa: E731
-    pspmm_send = (_make_pspmm_send(cfg.ops_backend, nP, _interp)
+    pspmm_send = (_make_pspmm_send(cfg.ops_backend, nP, _interp, _maxes)
                   if ring and ring_transport == "fused" else None)
+
+    def _attention_fused(g, params):
+        """Shard-local fused attention (SURVEY.md §3.2): attention is
+        zero-comm under dst partitioning, so each shard runs the same
+        pipeline as single-chip `attention_prepared` — relation-blocked
+        SDDMM kernel -> one fwd-aligned take -> Pallas segment softmax —
+        instead of the canonical-order XLA softmax. Returns the fwd-aligned
+        weights; canonical order is one static take (canon_to_fwd)."""
+        from kgat_tpu.ops.pallas.softmax import segment_softmax_aligned
+        flat = pb._attention_logits_flat(params, g)
+        logits_fwd = jnp.take(flat, g.fwd_from_att, mode="fill",
+                              fill_value=0.0)
+        return segment_softmax_aligned(logits_fwd, g.fwd_layout)
 
     def attention_inner(g_stack, params, *ex_stack):
         g = _local(g_stack)
-        att = jax.lax.stop_gradient(kgat.compute_attention(params, g, cfg))
+        if cfg.ops_backend == "pallas":
+            w_fwd = jax.lax.stop_gradient(_attention_fused(g, params))
+            att = jnp.take(w_fwd, g.canon_to_fwd, mode="fill",
+                           fill_value=0.0)
+            if not (ring or a2a):
+                # Stage the aligned forms straight off w_fwd (the fused
+                # pipeline's tail, as in pb.attention_prepared).
+                if cfg.compute_dtype is not None:
+                    w_fwd = w_fwd.astype(cfg.compute_dtype)
+                w_rev = jnp.take(w_fwd, g.rev_from_fwd, mode="fill",
+                                 fill_value=0.0)
+                packs = pb.packs_for(cfg)
+                ew = pb.EdgeWeights(
+                    fwd=w_fwd, rev=w_rev,
+                    fwd_t=pb._deinterleave_w(w_fwd, packs),
+                    rev_t=pb._deinterleave_w(w_rev, packs))
+                return jax.tree.map(lambda a: a[None], (att, ew))
+        else:
+            att = jax.lax.stop_gradient(
+                kgat.compute_attention(params, g, cfg))
         if ring or a2a:
             ex = _local(ex_stack[0])
             wm = att * g.edge_mask

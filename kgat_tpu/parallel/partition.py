@@ -208,7 +208,9 @@ class SelectiveHalo:
 
 
 def build_selective_halo(src: np.ndarray, dst: np.ndarray,
-                         info: PartitionInfo, mesh=None) -> SelectiveHalo:
+                         info: PartitionInfo, mesh=None,
+                         chunk_edges: int = ALIGN_CHUNK_EDGES,
+                         ) -> SelectiveHalo:
     """Build per-shard selective-exchange metadata (see SelectiveHalo).
 
     Must be called with the same (src, dst) arrays as
@@ -261,8 +263,8 @@ def build_selective_halo(src: np.ndarray, dst: np.ndarray,
     locs = [_local_table_ids(p) for p in range(P)]
     for p in range(P):
         s_dst = shard_edges[p][1]
-        fwd_need = max(fwd_need, _needed_chunks(s_dst, R))
-        rev_need = max(rev_need, _needed_chunks(locs[p], T))
+        fwd_need = max(fwd_need, _needed_chunks(s_dst, R, chunk_edges))
+        rev_need = max(rev_need, _needed_chunks(locs[p], T, chunk_edges))
 
     # Pass 3: per-shard arrays + layouts.
     per_shard = []
@@ -285,9 +287,10 @@ def build_selective_halo(src: np.ndarray, dst: np.ndarray,
         # halo.propagate_inner) — skip dead index-strip staging.
         fwd = _build_aligned_layout(
             s_dst, locs[p], R, dead, order=np.arange(n_e, dtype=np.int64),
-            force_chunks=fwd_need, packs=())
+            force_chunks=fwd_need, chunk_edges=chunk_edges, packs=())
         rev = _build_aligned_layout(locs[p], s_dst, T, dead,
-                                    force_chunks=rev_need, packs=())
+                                    force_chunks=rev_need,
+                                    chunk_edges=chunk_edges, packs=())
         per_shard.append(SelectiveHalo(
             send_idx=jnp.asarray(send_idx),
             local_ids=jnp.asarray(local_ids.astype(np.int32)),
@@ -300,7 +303,8 @@ def build_selective_halo(src: np.ndarray, dst: np.ndarray,
 
 def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
                     n_nodes: int, n_relations: int, n_parts: int,
-                    mesh=None,
+                    mesh=None, chunk_edges: int = ALIGN_CHUNK_EDGES,
+                    rel_block: int = 1024,
                     ) -> Tuple[Graph, PartitionInfo]:
     """Partition edges by destination block into a stacked SPMD Graph.
 
@@ -316,6 +320,13 @@ def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
     mesh's leading axis (multihost.stack_pytrees) — required on multi-host
     (each process places only its local shards) and avoids per-step
     resharding on one host.
+
+    chunk_edges / rel_block: aligned-layout chunk size and attention
+    relation-block granularity (graph.build_graph defaults). CPU CI runs
+    the pallas backend under the TPU interpret machinery, whose emulation
+    deadlocks on large per-grid-step blocks / long grids (see
+    tests/test_partition.py); small values keep interpret-emulated kernels
+    inside those limits. Production builds keep the defaults.
     """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -331,21 +342,23 @@ def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
 
     # Force shard-uniform shapes/static metadata.
     max_edges = max(len(s[0]) for s in shards)
-    edge_pad = max(_round_up(max_edges + 2048, 2048), 2048)
+    blk = max(2048, chunk_edges)
+    edge_pad = max(_round_up(max_edges + blk, blk), blk)
     rel_pad = {}
     for r in range(n_relations):
         m = max(int(np.sum(s[2] == r)) for s in shards)
         if m > 0:
-            rel_pad[r] = _round_up(m, 1024)
-    fwd_chunks = max(max(_needed_chunks((s[1] - p * R), R)
+            rel_pad[r] = _round_up(m, rel_block)
+    fwd_chunks = max(max(_needed_chunks((s[1] - p * R), R, chunk_edges)
                          for p, s in enumerate(shards)), 1)
-    rev_chunks = max(max(_needed_chunks(s[0], info.n_nodes_pad)
+    rev_chunks = max(max(_needed_chunks(s[0], info.n_nodes_pad, chunk_edges)
                          for s in shards), 1)
 
     built = []
     for p, (s_src, s_dst, s_ety) in enumerate(shards):
         g = _build_shard(s_src, s_dst, s_ety, p, info, n_relations,
-                         edge_pad, rel_pad, fwd_chunks, rev_chunks)
+                         edge_pad, rel_pad, fwd_chunks, rev_chunks,
+                         chunk_edges, rel_block)
         built.append(g)
 
     if mesh is not None:
@@ -357,7 +370,8 @@ def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
 
 
 def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
-                 edge_pad, rel_pad, fwd_chunks, rev_chunks) -> Graph:
+                 edge_pad, rel_pad, fwd_chunks, rev_chunks,
+                 chunk_edges=ALIGN_CHUNK_EDGES, rel_block=1024) -> Graph:
     """One shard's Graph, in mixed coordinates (see partition_graph)."""
     R = info.rows_per_part
     # Build against LOCAL dst so canonical order / CSR / fwd layout are
@@ -371,6 +385,7 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
         # is < R <= bound).
         n_nodes=max(info.n_nodes_pad, info.n_nodes_global),
         n_relations=n_relations,
+        rel_block=rel_block, chunk_edges=chunk_edges,
         force_edge_pad=edge_pad, force_rel_pad=rel_pad,
         force_fwd_chunks=None, force_rev_chunks=rev_chunks,
     )
@@ -383,16 +398,18 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
     fwd = _build_aligned_layout(
         dst_local_sorted.astype(np.int64), src_sorted.astype(np.int64),
         R, n_e, order=np.arange(n_e, dtype=np.int64),
-        force_chunks=fwd_chunks)
+        force_chunks=fwd_chunks, chunk_edges=chunk_edges)
     # Reverse layout: segments = global src, other = LOCAL dst.
     rev = _build_aligned_layout(
         src_sorted.astype(np.int64), dst_local_sorted.astype(np.int64),
-        info.n_nodes_pad, n_e, force_chunks=rev_chunks)
+        info.n_nodes_pad, n_e, force_chunks=rev_chunks,
+        chunk_edges=chunk_edges)
 
     from kgat_tpu.graph import cross_layout_perms
-    att_to_fwd, fwd_from_att, rev_from_fwd = cross_layout_perms(
-        host_array(g, "att_gather"), host_array(fwd, "gather"),
-        host_array(rev, "gather"), n_e, g.n_edges_pad)
+    att_to_fwd, fwd_from_att, rev_from_fwd, canon_to_fwd = \
+        cross_layout_perms(
+            host_array(g, "att_gather"), host_array(fwd, "gather"),
+            host_array(rev, "gather"), n_e, g.n_edges_pad)
 
     # Global dst for attention gathers (sentinel -> global n_nodes).
     mask_h = host_array(g, "edge_mask")
@@ -416,6 +433,7 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
         att_to_fwd=jnp.asarray(att_to_fwd.astype(np.int32)),
         fwd_from_att=jnp.asarray(fwd_from_att.astype(np.int32)),
         rev_from_fwd=jnp.asarray(rev_from_fwd.astype(np.int32)),
+        canon_to_fwd=jnp.asarray(canon_to_fwd.astype(np.int32)),
         n_nodes=info.n_nodes_global,
         n_edges=-1,  # shard-dependent; uniform sentinel for SPMD stacking
         n_edges_pad=g.n_edges_pad,

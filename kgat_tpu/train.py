@@ -32,7 +32,9 @@ from kgat_tpu.data import Dataset, load_dataset, synthetic_dataset
 from kgat_tpu.models import kgat
 from kgat_tpu.sampler import (CFSampleTable, KGSampleTable, sample_cf_batch,
                               sample_kg_batch)
-from kgat_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from kgat_tpu.utils.checkpoint import (load_checkpoint_sharded,
+                                       save_checkpoint,
+                                       save_checkpoint_sharded)
 from kgat_tpu.utils.config import TrainConfig, parse_args
 from kgat_tpu.utils.logging import RunLogger
 
@@ -131,6 +133,11 @@ class Trainer:
         self.epoch = 0
         self.best_metric = -1.0
         self.bad_evals = 0
+        # Cached staged attention: recomputed once per epoch AFTER the KG
+        # phase (reference order, SURVEY.md §3.1); serves evaluation and
+        # the next epoch's CF phase. Params never change between epochs,
+        # so end-of-epoch(N) attention == start-of-epoch(N+1) attention.
+        self._att = None
 
         self._build_steps()
 
@@ -304,15 +311,26 @@ class Trainer:
     def train_one_epoch(self) -> Tuple[float, float]:
         cfg = self.cfg
         self.rng, r_cf, r_kg = jax.random.split(self.rng, 3)
-        att = self._attention(self.params)
-        if self.partitioned:
-            return self._partitioned_epoch(r_cf, r_kg, att)
-        if cfg.sampler == "device":
-            self.params, self.opt_state, cf_l = self._cf_epoch(
-                self.params, self.opt_state, att, r_cf)
-            self.params, self.opt_state, kg_l = self._kg_epoch(
-                self.params, self.opt_state, r_kg)
-            return float(cf_l), float(kg_l)
+        att = (self._att if self._att is not None
+               else self._attention(self.params))
+        self._att = None  # params are about to change
+        try:
+            if self.partitioned:
+                return self._partitioned_epoch(r_cf, r_kg, att)
+            if cfg.sampler == "device":
+                self.params, self.opt_state, cf_l = self._cf_epoch(
+                    self.params, self.opt_state, att, r_cf)
+                self.params, self.opt_state, kg_l = self._kg_epoch(
+                    self.params, self.opt_state, r_kg)
+                return float(cf_l), float(kg_l)
+            return self._host_sampled_epoch(att, r_cf)
+        finally:
+            # Reference order (SURVEY.md §3.1): attention recomputed after
+            # the KG phase, reused by evaluate() and the next epoch.
+            self._att = self._attention(self.params)
+
+    def _host_sampled_epoch(self, att, r_cf) -> Tuple[float, float]:
+        cfg = self.cfg
         cf_losses, kg_losses = [], []
         for b in range(self.n_cf_batches):
             u, ip, ineg = self._host_cf.sample(cfg.cf_batch_size)
@@ -332,7 +350,8 @@ class Trainer:
         return float(np.mean(cf_losses)), float(np.mean(kg_losses))
 
     def evaluate(self) -> dict:
-        att = self._attention(self.params)
+        att = (self._att if self._att is not None
+               else self._attention(self.params))
         if self.partitioned:
             all_embed = self._propagate_eval(att, self.params)
         else:
@@ -352,17 +371,22 @@ class Trainer:
 
     def _save_ckpt(self, path: str) -> None:
         mc = self.cfg.model
-        save_checkpoint(path, self.params, self.opt_state,
-                        epoch=self.epoch, rng=self.rng,
-                        best_metric=self.best_metric,
-                        bad_evals=self.bad_evals,
-                        extra={"model": {
-                            "embed_dim": mc.embed_dim,
-                            "relation_dim": mc.relation_dim,
-                            "conv_dims": list(mc.conv_dims),
-                            "aggregator": mc.aggregator,
-                            "mess_dropout": list(mc.mess_dropout),
-                        }, "dataset": self.cfg.dataset})
+        # Multi-host: each process writes its row-slice of the big tables
+        # (SURVEY.md §5 checkpoint row); single process keeps the
+        # transparent one-file format.
+        save = (save_checkpoint if jax.process_count() == 1
+                else save_checkpoint_sharded)
+        save(path, self.params, self.opt_state,
+             epoch=self.epoch, rng=self.rng,
+             best_metric=self.best_metric,
+             bad_evals=self.bad_evals,
+             extra={"model": {
+                 "embed_dim": mc.embed_dim,
+                 "relation_dim": mc.relation_dim,
+                 "conv_dims": list(mc.conv_dims),
+                 "aggregator": mc.aggregator,
+                 "mess_dropout": list(mc.mess_dropout),
+             }, "dataset": self.cfg.dataset})
 
     def _resume(self) -> None:
         """Restore from the newest of {best, last} checkpoints.
@@ -375,8 +399,9 @@ class Trainer:
         states = []
         for path in (self.ckpt_path(), self.last_ckpt_path()):
             try:
-                states.append((load_checkpoint(path, self.params,
-                                               self.opt_state), path))
+                # Handles both formats: single-file and per-host shards.
+                states.append((load_checkpoint_sharded(
+                    path, self.params, self.opt_state), path))
             except FileNotFoundError:
                 pass
         if not states:
@@ -384,6 +409,7 @@ class Trainer:
             return
         (state, path) = max(states, key=lambda s: s[0][2]["epoch"])
         self.params, self.opt_state, meta, self.rng = state
+        self._att = None  # params changed; recompute lazily
         self.epoch = meta["epoch"]
         self.best_metric = meta["best_metric"]
         self.bad_evals = meta["bad_evals"]

@@ -124,3 +124,35 @@ def test_resume_prefers_newest_of_best_and_last(tmp_path):
     tr3 = Trainer(cfg2)
     tr3._resume()
     assert tr3.epoch == best_meta["epoch"]
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Per-host sharded checkpoints (SURVEY.md §5 checkpoint row): every
+    process writes its row-slice of the large tables; resume reassembles.
+    Multi-host is simulated by writing both shards from one process with
+    explicit (process_index, process_count) — the degenerate single-host
+    path is what Trainer uses when jax.process_count() > 1."""
+    import jax
+    import optax
+    from kgat_tpu.utils.checkpoint import (load_checkpoint_sharded,
+                                           save_checkpoint_sharded)
+
+    tr = Trainer(_cfg(tmp_path, epochs=1))
+    opt_state = tr.opt_state
+    rng = jax.random.key(7)
+    path = str(tmp_path / "sharded_ck")
+    for pi in range(2):
+        save_checkpoint_sharded(path, tr.params, opt_state, epoch=4,
+                                rng=rng, best_metric=0.25, bad_evals=1,
+                                process_index=pi, process_count=2)
+    import os
+    assert os.path.exists(path + ".shard0of2.npz")
+    assert os.path.exists(path + ".shard1of2.npz")
+    p, o, meta, rng2 = load_checkpoint_sharded(path, tr.params, opt_state)
+    assert meta["epoch"] == 4 and meta["n_shards"] == 2
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(tr.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(o), jax.tree.leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(jax.random.key_data(rng2),
+                                  jax.random.key_data(rng))
