@@ -216,6 +216,163 @@ def roofline(graph, meta):
     return out
 
 
+# v5e ICI: ~45 GB/s usable per direction per link on a 2D torus ring
+# (public v5e spec: 1600 Gbps aggregate across 4 links -> ~50 GB/s/link
+# raw). Used only by the analytic scaling model below; override with
+# --ici-gbs when better numbers exist for the target slice.
+ICI_GB_S = 45.0
+
+
+def _exchange_bytes_per_layer(exchange: str, info, dims, dtype_bytes,
+                              sel_halo=None):
+    """Per-DEVICE ICI bytes moved per propagation layer, per direction
+    list [fwd, bwd], computed from the partition statics.
+
+    allgather: fwd = all-gather of every peer's (R, d) activation block
+      -> receive (P-1)*R*d; bwd = its AD transpose (reduce-scatter of the
+      (n_pad, d) partial feature grads) -> send the same volume.
+    ring: (P-1) neighbor shifts of the (R, d) chunk -> same volume as the
+      all-gather, but overlapped with the bucket reduces.
+    a2a: each device ships the owned rows its peers reference: send
+      (P-1)*H*d padded rows (SelectiveHalo.halo_rows), receive the same;
+      bwd is the transpose.
+    """
+    P, R = info.n_parts, info.rows_per_part
+    out = {}
+    for li, d in enumerate(dims):
+        if exchange == "a2a":
+            H = sel_halo.halo_rows
+            vol = (P - 1) * H * d * dtype_bytes
+        else:
+            vol = (P - 1) * R * d * dtype_bytes
+        out[li] = vol
+    return out
+
+
+def bench_partitioned(ds, graph, meta, backend: str, batch: int, iters: int,
+                      n_devices: int, exchange: str, ring_transport: str,
+                      dp_replicas: int, compute_dtype: str, ici_gbs: float):
+    """Partitioned-path benchmark (SURVEY.md §6 scaling row, [B:5]).
+
+    Runs attention + CF step through the SAME machinery the trainer uses
+    (partition_graph + make_partitioned) on an n-device mesh — mesh(1) on
+    the single real chip, a virtual CPU mesh in CI — and reports measured
+    per-chip edges/s, static per-exchange ICI bytes per step, and the
+    analytic scaling-efficiency model against the >=70% target: a pod
+    slice plugs into this same entry point with a bigger --n-devices.
+    """
+    import dataclasses
+
+    from kgat_tpu.graph import host_coo
+    from kgat_tpu.models import kgat
+    from kgat_tpu.parallel.halo import AXIS, make_partitioned
+    from kgat_tpu.parallel.partition import (build_ring_buckets,
+                                             build_selective_halo,
+                                             partition_graph)
+    from kgat_tpu.sampler import CFSampleTable, sample_cf_batch
+
+    cd = jnp.bfloat16 if (backend == "pallas"
+                          and compute_dtype == "bf16") else None
+    cfg = kgat.KGATConfig(ops_backend=backend, compute_dtype=cd)
+    params = kgat.init_params(jax.random.key(0), meta.n_nodes,
+                              meta.n_relations, cfg)
+    E, L = graph.n_edges, len(cfg.conv_dims)
+    dp = max(1, dp_replicas)
+    n_ep = n_devices // dp
+    devs = jax.devices()[:n_devices]
+    if dp > 1:
+        mesh = jax.make_mesh((dp, n_ep), ("dp", AXIS), devices=devs)
+    else:
+        mesh = jax.make_mesh((n_ep,), (AXIS,), devices=devs)
+    coo = host_coo(graph)
+    pg, info = partition_graph(coo["src"], coo["dst"], coo["etype"],
+                               meta.n_nodes, meta.n_relations, n_ep,
+                               mesh=mesh)
+    rb = sh = None
+    if exchange == "ring":
+        rb = build_ring_buckets(coo["src"], coo["dst"], info, mesh=mesh)
+    elif exchange == "a2a":
+        sh = build_selective_halo(coo["src"], coo["dst"], info, mesh=mesh)
+    attention, propagate_eval, make_cf_step, _ = make_partitioned(
+        mesh, pg, info, meta, cfg, exchange=exchange, ring_buckets=rb,
+        sel_halo=sh, ring_transport=ring_transport,
+        dp_axis="dp" if dp > 1 else None)
+
+    att_timed = jax.jit(lambda p, i: sum(
+        jnp.sum(x.astype(jnp.float32)) for x in
+        jax.tree.leaves(attention(pg, p)[1])) * 1e-20 + i)
+    t_att = median_time(att_timed, params, iters=iters)
+    _, ew = attention(pg, params)
+
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    table = CFSampleTable.build(ds.cf_train, meta.n_users, meta.n_items)
+    u, ip, ineg, w = sample_cf_batch(table, jax.random.key(1), batch)
+    step = make_cf_step(opt)
+
+    def run_step(i):
+        nonlocal params, opt_state
+        params, opt_state, loss = step(params, opt_state, ew, u, ip, ineg,
+                                       w, jax.random.fold_in(
+                                           jax.random.key(2), i))
+        return loss
+    t_step = median_time(run_step, iters=iters)
+
+    # --- static ICI accounting (per device, per CF step) ---
+    dims = [cfg.embed_dim] + list(cfg.conv_dims[:-1])
+    dtype_bytes = 2 if cd is not None else 4
+    per_layer = _exchange_bytes_per_layer(exchange, info, dims, dtype_bytes,
+                                          sel_halo=sh)
+    # fwd exchange + its AD transpose (same volume) per layer, + the
+    # dp-axis grad psum when dp > 1 (params replicated: 2x param bytes
+    # per all-reduce, dominated by the embedding table).
+    ici_step = 2 * sum(per_layer.values())
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    ici_dp = 2 * n_params * 4 if dp > 1 else 0
+
+    # --- analytic efficiency model vs the >=70% target [B:5] ---
+    # Per-chip compute shrinks ~1/P (edges split by dst block); exposed
+    # comm = exchange bytes at ICI rate, overlapped for ring/fused (the
+    # reduce hides the shift by construction) and exposed for allgather
+    # (XLA still schedules it concurrently; assume half exposed).
+    scaling = {}
+    t1 = t_step  # measured on THIS mesh; at n_ep==1 it is the 1-chip time
+    for P in (4, 8, 16):
+        t_comp = t1 / P
+        vol = 0
+        for d in dims:
+            if exchange == "a2a" and sh is not None:
+                vol += (P - 1) * sh.halo_rows * d * dtype_bytes
+            else:
+                R_p = -(-meta.n_nodes // P)
+                vol += (P - 1) * R_p * d * dtype_bytes
+        t_comm = 2 * vol / (ici_gbs * 1e9)
+        exposed = 0.0 if exchange in ("ring",) else 0.5
+        t_p = max(t_comp, t_comm) if exchange == "ring" else \
+            t_comp + exposed * t_comm
+        scaling[f"pred_eff_{P}chips"] = round(t1 / (P * t_p), 3)
+
+    return {
+        "scaling": {
+            "n_devices": n_devices,
+            "n_ep": n_ep,
+            "dp_replicas": dp,
+            "exchange": exchange,
+            "ring_transport": ring_transport,
+            "t_cf_step_ms": round(t_step * 1e3, 3),
+            "t_attention_ms": round(t_att * 1e3, 3),
+            "cf_step_edges_per_s": round(L * E / t_step),
+            "cf_step_edges_per_s_per_chip": round(L * E / t_step
+                                                  / n_devices),
+            "attention_edges_per_s": round(E / t_att),
+            "ici_bytes_per_step_per_device": int(ici_step),
+            "ici_bytes_dp_allreduce": int(ici_dp),
+            "ici_model_gb_s": ici_gbs,
+            **scaling,
+        }
+    }
+
+
 def bench_serving(graph, meta, backend: str, iters: int, block: int = 2048,
                   k: int = 20, compute_dtype: str = "bf16"):
     """Serving-path throughput (kgat_tpu.recommend hot loop).
@@ -264,6 +421,19 @@ def main(argv=None):
     p.add_argument("--serving", action="store_true",
                    help="also measure the recommend path (users/s of "
                         "blocked masked top-K scoring)")
+    p.add_argument("--n-devices", type=int, default=0,
+                   help="also bench the PARTITIONED path over this many "
+                        "devices (mesh(1) on the single real chip; a "
+                        "virtual mesh in CPU CI) and report per-chip "
+                        "edges/s + static ICI bytes + the analytic "
+                        "scaling-efficiency model [B:5]")
+    p.add_argument("--dp-replicas", type=int, default=1)
+    p.add_argument("--halo-exchange", default="allgather",
+                   choices=["allgather", "ring", "a2a"])
+    p.add_argument("--ring-transport", default="ppermute",
+                   choices=["ppermute", "dma", "fused"])
+    p.add_argument("--ici-gbs", type=float, default=ICI_GB_S,
+                   help="per-direction ICI GB/s for the analytic model")
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--compute-dtype", default="bf16",
@@ -293,17 +463,31 @@ def main(argv=None):
 
     res = bench_backend(graph, meta, a.backend, a.batch, a.iters,
                         compute_dtype=a.compute_dtype)
-    # Without --compare, report against the recorded XLA ref-path
-    # measurement for this preset (v5e 1 chip, 2026-08-17; BASELINE.md) so
-    # the default run still carries a meaningful ratio at bounded runtime.
-    # Live --compare measurement 2026-08-17, clean chip, post
-    # latent-factor generator (4.65M edges).
-    RECORDED_REF_CF_STEP_S = {"yelp2018": 0.4571}
+    # Without --compare, report against the CACHED XLA ref-path
+    # measurement for this (preset, n_edges, device) — written by the last
+    # --compare run (bench_refcache.json, committed) so the ratio never
+    # silently goes stale when the synthetic generator changes edge counts
+    # (it did between r01 and r02).
+    import os
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_refcache.json")
+    try:
+        with open(cache_path) as f:
+            ref_cache = json.load(f)
+    except FileNotFoundError:
+        ref_cache = {}
+    cache_key = f"{a.preset}/{graph.n_edges}"
     vs = 1.0
-    if (a.backend == "pallas"
-            and a.preset in RECORDED_REF_CF_STEP_S and not a.compare):
-        ref_rate = 3 * graph.n_edges / RECORDED_REF_CF_STEP_S[a.preset]
-        vs = res["cf_step_edges_per_s"] / ref_rate
+    stale_note = {}
+    if a.backend == "pallas" and not a.compare:
+        hit = ref_cache.get(cache_key)
+        if hit:
+            ref_rate = 3 * graph.n_edges / hit["t_cf_step_s"]
+            vs = res["cf_step_edges_per_s"] / ref_rate
+        else:
+            stale_note = {"vs_baseline_note":
+                          f"no cached ref time for {cache_key}; "
+                          f"run --compare once to record it"}
     ref_fields = {}
     if a.compare and a.backend != "ref":
         ref = bench_backend(graph, meta, "ref", a.batch, a.iters,
@@ -314,6 +498,13 @@ def main(argv=None):
             "ref_t_attention_ms": round(ref["t_attention_s"] * 1e3, 3),
             "ref_t_forward_ms": round(ref["t_forward_s"] * 1e3, 3),
         }
+        if dev.platform == "tpu":
+            ref_cache[cache_key] = {
+                "t_cf_step_s": ref["t_cf_step_s"],
+                "device": f"{dev.platform}:{dev.device_kind}",
+            }
+            with open(cache_path, "w") as f:
+                json.dump(ref_cache, f, indent=1, sort_keys=True)
 
     out = {
         "metric": "cf_step_edges_per_s",
@@ -330,7 +521,18 @@ def main(argv=None):
         "t_attention_ms": round(res["t_attention_s"] * 1e3, 3),
         "t_forward_ms": round(res["t_forward_s"] * 1e3, 3),
         **ref_fields,
+        **stale_note,
     }
+    if a.n_devices == 0 and dev.platform == "tpu":
+        # Default TPU runs always include the partitioned path at every
+        # available chip (mesh(1) on this machine): the scaling block is
+        # the plug-and-play measurement for a pod slice [B:5].
+        a.n_devices = len(jax.devices())
+    if a.n_devices > 0:
+        out.update(bench_partitioned(
+            ds, graph, meta, a.backend, a.batch, a.iters, a.n_devices,
+            a.halo_exchange, a.ring_transport, a.dp_replicas,
+            a.compute_dtype, a.ici_gbs))
     if a.serving:
         out.update(bench_serving(graph, meta, a.backend, a.iters,
                                  compute_dtype=a.compute_dtype))
