@@ -185,9 +185,9 @@ class AlignedLayout:
     n_blocks: int = dataclasses.field(metadata=dict(static=True))
     chunk_edges: int = dataclasses.field(default=ALIGN_CHUNK_EDGES,
                                          metadata=dict(static=True))
-    # Deinterleaved gather indices {pack: (pack, E_al/pack) int32}, row j =
-    # node[j::pack] made contiguous on the host. The packed SpMM path
-    # gathers features with these so each gather writes full-lane
+    # Strip-contiguous gather indices {pack: (pack, E_al/pack) int32} —
+    # see _deinterleave_node for the exact convention. The packed SpMM
+    # path gathers features with these so each gather writes full-lane
     # (E_al/pack, 128) rows directly — a *strided* device slice of `node`
     # is ~8x slower, and gathering into half-lane (E_al, d) tiles plus the
     # lane-repacking reshape costs more than the reduce kernel itself
@@ -198,11 +198,28 @@ class AlignedLayout:
 DEFAULT_NODE_PACKS = (2, 4, 8)
 
 
-def _deinterleave_node(node: np.ndarray,
-                       packs=DEFAULT_NODE_PACKS) -> dict:
-    """Host-side contiguous deinterleave of the aligned gather indices."""
-    return {k: jnp.asarray(np.ascontiguousarray(node.reshape(-1, k).T))
-            for k in packs}
+def _deinterleave_node(node: np.ndarray, packs=DEFAULT_NODE_PACKS,
+                       chunk_edges: int = ALIGN_CHUNK_EDGES) -> dict:
+    """Host-side STRIP-CONTIGUOUS deinterleave of aligned gather indices.
+
+    node_t[p][j, k*(ce//p) + r] = node[k*ce + j*(ce//p) + r]: within each
+    chunk, lane strip j of the packed value stream holds a CONTIGUOUS run
+    of ce//p aligned positions. The payoff is on the weight side — the
+    per-chunk (p, ce//p) weight strips of the fused-weight SpMM kernel
+    are then plain reshapes of the aligned (E_al,) weight vector, so
+    attention staging needs NO deinterleave transposes at all (the old
+    edge-interleaved convention cost four ~20 MB relayouts per epoch at
+    Yelp2018 scale). The host pays the one-time relayout here instead.
+    """
+    out = {}
+    for p in packs:
+        if len(node) == 0:
+            out[p] = jnp.asarray(np.zeros((p, 0), np.int32))
+            continue
+        cr = chunk_edges // p
+        nt = node.reshape(-1, p, cr).transpose(1, 0, 2).reshape(p, -1)
+        out[p] = jnp.asarray(np.ascontiguousarray(nt))
+    return out
 
 
 def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
@@ -307,7 +324,8 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
         n_chunks=int(len(chunk_block)),
         n_blocks=int(n_blocks),
         chunk_edges=int(ALIGN),
-        node_t=_deinterleave_node(np.asarray(node), packs),
+        node_t=_deinterleave_node(np.asarray(node), packs,
+                                  chunk_edges=int(ALIGN)),
     )
     # Host mirrors (see host_array: D2H readback is pathological here).
     object.__setattr__(layout, "_host",
@@ -477,7 +495,9 @@ def _layout_from_arrays(z, prefix: str, statics: dict) -> "AlignedLayout":
         n_chunks=int(statics[f"{prefix}_n_chunks"]),
         n_blocks=int(statics[f"{prefix}_n_blocks"]),
         chunk_edges=int(statics[f"{prefix}_chunk_edges"]),
-        node_t=_deinterleave_node(arrs["node"]),
+        node_t=_deinterleave_node(
+            arrs["node"],
+            chunk_edges=int(statics[f"{prefix}_chunk_edges"])),
     )
     object.__setattr__(layout, "_host", arrs)
     return layout

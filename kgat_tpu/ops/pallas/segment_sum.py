@@ -121,7 +121,13 @@ def _kernel_w(chunk_block_ref, bounds_ref, w_ref, vals_ref, out_ref,
     """Fused-weight variant: the per-edge scalar weights are folded into
     the one-hot (onehot[r, e] = w_e * mask) so the XLA side feeds raw
     gathered features — no (E_al, d) half-lane intermediate, no lane
-    repack, no separate multiply pass."""
+    repack, no separate multiply pass.
+
+    Strip-contiguous convention (matches AlignedLayout.node_t): within a
+    chunk, lane strip i covers aligned positions [i*chunk_rows,
+    (i+1)*chunk_rows) — so the chunk's (pack, chunk_rows) weight block is
+    a plain reshape of the aligned (E_al,) weight vector and staging
+    weights costs no relayout at all."""
     k = pl.program_id(0)
     blk = chunk_block_ref[k]
     first = jnp.logical_or(
@@ -138,8 +144,8 @@ def _kernel_w(chunk_block_ref, bounds_ref, w_ref, vals_ref, out_ref,
 
     acc = jnp.zeros_like(out_ref)
     for i in range(pack):                  # static unroll
-        e_rel = col * pack + i
-        wline = w_ref[i:i + 1, :]          # (1, chunk_rows) f32 lane vector
+        e_rel = i * chunk_rows + col
+        wline = w_ref[0, i:i + 1, :]       # (1, chunk_rows) f32 lane vector
         onehot = (jnp.where((e_rel >= lo) & (e_rel < hi), 1.0, 0.0)
                   * wline).astype(vals.dtype)
         acc += jax.lax.dot_general(
@@ -165,15 +171,18 @@ def segment_sum_packed(packed: jax.Array, w_t: jax.Array,
                        interpret=None) -> jax.Array:
     """Weighted segment sum over pre-packed gathered features.
 
-    packed: (E_al/pack, 128) lane-packed features, row r lanes
-    [j*d:(j+1)*d] = x[node of edge r*pack+j] — build it as
-    ``jnp.concatenate([x[layout.node_t[pack][j]] for j in range(pack)],
-    axis=1)``: each strip gather writes full-lane rows (fast) and no
-    repacking reshape is needed.
-    w_t: (pack, E_al/pack) float32 deinterleaved per-edge weights
-    (w_t[j, r] = w of edge r*pack+j); keep f32 — a bf16 (pack, R) block
-    under-fills the (16, 128) tile sublanes and Mosaic rejects it.
-    The multiply happens inside the kernel, folded into the one-hot.
+    packed: (E_al/pack, 128) lane-packed features in the STRIP-CONTIGUOUS
+    convention of ``layout.node_t`` (row k*cr+r lanes [j*d:(j+1)*d] =
+    x[node of aligned position k*ce + j*cr + r], cr = chunk_edges/pack) —
+    build it as ``jnp.concatenate([x[layout.node_t[pack][j]] for j in
+    range(pack)], axis=1)``: each strip gather writes full-lane rows
+    (fast) and no repacking reshape is needed.
+    w_t: (n_chunks, pack, chunk_edges/pack) float32 per-edge weights —
+    a PURE RESHAPE of the aligned (E_al,) weight vector
+    (``w.astype(f32).reshape(n_chunks, pack, -1)``), zero relayout; keep
+    f32 — a bf16 (pack, R) block under-fills the (16, 128) tile sublanes
+    and Mosaic rejects it. The multiply happens inside the kernel, folded
+    into the one-hot.
 
     Equivalent to ``segment_sum_aligned(x[layout.node] * w[:, None], ...)``
     but ~2-3x faster end to end at Yelp2018 scale on v5e.
@@ -195,10 +204,11 @@ def segment_sum_packed(packed: jax.Array, w_t: jax.Array,
                          f"edge count {e_al}")
     pack = e_al // n_rows
     d = LANE // pack
-    if w_t.shape != (pack, n_rows):
-        raise ValueError(f"w_t shape {w_t.shape} != {(pack, n_rows)}")
     chunk = layout.chunk_edges
     chunk_rows = chunk // pack
+    if w_t.shape != (layout.n_chunks, pack, chunk_rows):
+        raise ValueError(f"w_t shape {w_t.shape} != "
+                         f"{(layout.n_chunks, pack, chunk_rows)}")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -207,7 +217,7 @@ def segment_sum_packed(packed: jax.Array, w_t: jax.Array,
             pl.BlockSpec((1, ALIGN_BLOCK_ROWS, 8),
                          lambda k, cb: (cb[k], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pack, chunk_rows), lambda k, cb: (0, k),
+            pl.BlockSpec((1, pack, chunk_rows), lambda k, cb: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk_rows, LANE), lambda k, cb: (k, 0),
                          memory_space=pltpu.VMEM),

@@ -79,9 +79,11 @@ class EdgeWeights:
 
     fwd: jax.Array   # (E_al_fwd,) (w * mask)[fwd_layout.gather]
     rev: jax.Array   # (E_al_rev,)
-    # Deinterleaved f32 forms {pack: (pack, E_al/pack)} matching
-    # AlignedLayout.node_t — the packed SpMM kernel folds these into its
-    # one-hot so the hot loop never materializes weighted edge values.
+    # Strip f32 forms {pack: (n_chunks, pack, chunk_edges/pack)} matching
+    # AlignedLayout.node_t's strip-contiguous convention — the packed SpMM
+    # kernel folds these into its one-hot so the hot loop never
+    # materializes weighted edge values. Each is a PURE RESHAPE of the
+    # aligned vector (plus an f32 cast), so staging costs no relayout.
     # None on legacy-staged weights (the reduce then takes the old path).
     fwd_t: object = None
     rev_t: object = None
@@ -105,11 +107,12 @@ def packs_for(cfg) -> tuple:
                          if d < 128 and 128 % d == 0}))
 
 
-def _deinterleave_w(w_aligned: jax.Array,
-                    packs=DEFAULT_PACKS) -> dict:
-    """{pack: (pack, E_al/pack) f32} — one-time per-epoch relayout."""
+def _deinterleave_w(w_aligned: jax.Array, packs=DEFAULT_PACKS,
+                    chunk_edges: int = 1024) -> dict:
+    """{pack: (n_chunks, pack, chunk_edges/pack) f32} strip weights —
+    pure reshapes of the aligned vector (see segment_sum_packed)."""
     w32 = w_aligned.astype(jnp.float32)
-    return {k: w32.reshape(-1, k).T for k in packs}
+    return {k: w32.reshape(-1, k, chunk_edges // k) for k in packs}
 
 
 def prepare_weights(graph: Graph, edge_w: jax.Array,
@@ -127,9 +130,10 @@ def prepare_weights(graph: Graph, edge_w: jax.Array,
         wm = wm.astype(dtype)
     fwd = wm[graph.fwd_layout.gather]
     rev = wm[graph.rev_layout.gather]
-    return EdgeWeights(fwd=fwd, rev=rev,
-                       fwd_t=_deinterleave_w(fwd, packs),
-                       rev_t=_deinterleave_w(rev, packs))
+    return EdgeWeights(
+        fwd=fwd, rev=rev,
+        fwd_t=_deinterleave_w(fwd, packs, graph.fwd_layout.chunk_edges),
+        rev_t=_deinterleave_w(rev, packs, graph.rev_layout.chunk_edges))
 
 
 def _layout_reduce(layout, w_aligned, x, n_nodes,
@@ -253,9 +257,10 @@ def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:
         w_fwd = w_fwd.astype(cfg.compute_dtype)
     w_rev = jnp.take(w_fwd, graph.rev_from_fwd, mode="fill", fill_value=0.0)
     packs = packs_for(cfg) if hasattr(cfg, "conv_dims") else DEFAULT_PACKS
-    return EdgeWeights(fwd=w_fwd, rev=w_rev,
-                       fwd_t=_deinterleave_w(w_fwd, packs),
-                       rev_t=_deinterleave_w(w_rev, packs))
+    return EdgeWeights(
+        fwd=w_fwd, rev=w_rev,
+        fwd_t=_deinterleave_w(w_fwd, packs, graph.fwd_layout.chunk_edges),
+        rev_t=_deinterleave_w(w_rev, packs, graph.rev_layout.chunk_edges))
 
 
 def _att_tile(graph: Graph) -> int:

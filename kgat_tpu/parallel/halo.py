@@ -241,8 +241,10 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                 packs = pb.packs_for(cfg)
                 ew = pb.EdgeWeights(
                     fwd=w_fwd, rev=w_rev,
-                    fwd_t=pb._deinterleave_w(w_fwd, packs),
-                    rev_t=pb._deinterleave_w(w_rev, packs))
+                    fwd_t=pb._deinterleave_w(w_fwd, packs,
+                                             g.fwd_layout.chunk_edges),
+                    rev_t=pb._deinterleave_w(w_rev, packs,
+                                             g.rev_layout.chunk_edges))
                 return jax.tree.map(lambda a: a[None], (att, ew))
         else:
             att = jax.lax.stop_gradient(

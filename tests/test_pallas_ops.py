@@ -171,7 +171,7 @@ def test_packed_reduce_matches_legacy(graph_meta, rng, d):
         pack = 128 // d
         if pack == 1:
             return  # packed path is the legacy path at d=128
-        w_t = w.reshape(-1, pack).T
+        w_t = w.reshape(lay.n_chunks, pack, lay.chunk_edges // pack)
         got = segment_sum_packed(pack_gathered(x, lay, pack), w_t, lay,
                                  g.n_nodes)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
