@@ -91,24 +91,37 @@ def median_time(fn, *args, iters=10, warmup=1):
 
 
 def bench_backend(graph, meta, backend: str, batch: int, iters: int,
-                  compute_dtype: str = "bf16"):
+                  compute_dtype: str = "bf16", coalesce: bool = True):
     import dataclasses
 
     from kgat_tpu.models import kgat
 
     cd = jnp.bfloat16 if (backend == "pallas"
                           and compute_dtype == "bf16") else None
-    cfg = kgat.KGATConfig(ops_backend=backend, compute_dtype=cd)
+    cfg = kgat.KGATConfig(ops_backend=backend, compute_dtype=cd,
+                          coalesce=coalesce and backend == "pallas")
     params = kgat.init_params(jax.random.key(0), meta.n_nodes,
                               meta.n_relations, cfg)
     E, L = graph.n_edges, len(cfg.conv_dims)
 
-    def att_sum(p):
-        a = kgat.attention_for_training(p, graph, cfg)
-        return sum(jnp.sum(x) for x in jax.tree.leaves(a))
+    def att_sum(p, c):
+        a = kgat.attention_for_training(p, graph, c)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(a))
 
-    att_timed = jax.jit(lambda p, i: att_sum(p) * 1e-20 + i)
+    # Stage metric: the attention pipeline + uncoalesced staging (A4+A5 +
+    # both aligned layouts) — comparable across rounds/configs. When the
+    # production config coalesces multi-edges, its (heavier) staging time
+    # is reported separately as t_staging_ms: the extra static picks are
+    # paid once per epoch and repaid ~each CF step (see coalesce_weights).
+    cfg_att = dataclasses.replace(cfg, coalesce=False) \
+        if getattr(cfg, "coalesce", False) else cfg
+    att_timed = jax.jit(lambda p, i: att_sum(p, cfg_att) * 1e-20 + i)
     t_att = median_time(att_timed, params, iters=iters)
+    t_staging = t_att
+    if cfg_att is not cfg:
+        t_staging = median_time(
+            jax.jit(lambda p, i: att_sum(p, cfg) * 1e-20 + i),
+            params, iters=iters)
     att = jax.jit(lambda p: kgat.attention_for_training(
         graph=graph, params=p, cfg=cfg))(params)
 
@@ -140,6 +153,7 @@ def bench_backend(graph, meta, backend: str, batch: int, iters: int,
 
     return {
         "t_attention_s": t_att,
+        "t_staging_s": t_staging,
         "t_forward_s": t_fwd,
         "t_cf_step_s": t_step,
         "attention_edges_per_s": E / t_att,
@@ -441,6 +455,9 @@ def main(argv=None):
                    help="pallas SpMM value-stream dtype (production "
                         "config is bf16: f32 Adam/master weights, bf16 "
                         "gather+reduce streams, f32 MXU accumulation)")
+    p.add_argument("--no-coalesce", action="store_true",
+                   help="disable multi-edge coalescing (A/B the ~22%% "
+                        "duplicate-(dst,src) gather-row reduction)")
     a = p.parse_args(argv)
 
     from kgat_tpu.utils.device_guard import require_backend
@@ -462,7 +479,8 @@ def main(argv=None):
           file=sys.stderr)
 
     res = bench_backend(graph, meta, a.backend, a.batch, a.iters,
-                        compute_dtype=a.compute_dtype)
+                        compute_dtype=a.compute_dtype,
+                        coalesce=not a.no_coalesce)
     # Without --compare, report against the CACHED XLA ref-path
     # measurement for this (preset, n_edges, device) — written by the last
     # --compare run (bench_refcache.json, committed) so the ratio never
@@ -519,6 +537,7 @@ def main(argv=None):
         "forward_edges_per_s": round(res["forward_edges_per_s"]),
         "t_cf_step_ms": round(res["t_cf_step_s"] * 1e3, 3),
         "t_attention_ms": round(res["t_attention_s"] * 1e3, 3),
+        "t_staging_ms": round(res["t_staging_s"] * 1e3, 3),
         "t_forward_ms": round(res["t_forward_s"] * 1e3, 3),
         **ref_fields,
         **stale_note,

@@ -52,6 +52,20 @@ class KGATConfig:
     # bf16 halves the gather+reduce HBM traffic — the step-time bottleneck;
     # accumulation stays f32 on the MXU (~1e-3 rel activation noise).
     compute_dtype: Any = None
+    # Attention logits route on the pallas backend: 'auto' (dense
+    # projected tables when they fit in HBM, else the relation-blocked
+    # SDDMM kernel), 'dense', or 'relblock'. See
+    # pallas_backend.attention_logits_fwd.
+    att_impl: str = "auto"
+    # Dense-route projected-table dtype (None = f32; bf16 halves the
+    # table build/gather HBM traffic at ~1e-2 relative logit noise).
+    att_table_dtype: Any = None
+    # Coalesce multi-edges for the SpMM hot loop (pallas backend,
+    # single-device path): distinct (dst, src) pairs reduce once with
+    # summed weights — ~20-28% fewer gather rows at reference scale for
+    # one extra static take per epoch in staging. See
+    # pallas_backend.coalesce_weights / graph.build_coalesced.
+    coalesce: bool = True
 
     @property
     def out_dim(self) -> int:
@@ -173,7 +187,8 @@ def prepare_attention(graph: Graph, att: jax.Array, cfg: KGATConfig):
         from kgat_tpu.ops import pallas_backend
         return pallas_backend.prepare_weights(
             graph, att, dtype=cfg.compute_dtype,
-            packs=pallas_backend.packs_for(cfg))
+            packs=pallas_backend.packs_for(cfg),
+            coalesce=getattr(cfg, "coalesce", False))
     return att
 
 

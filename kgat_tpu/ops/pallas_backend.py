@@ -87,6 +87,12 @@ class EdgeWeights:
     # None on legacy-staged weights (the reduce then takes the old path).
     fwd_t: object = None
     rev_t: object = None
+    # True when fwd/rev live in the multi-edge-COALESCED layouts
+    # (graph.build_coalesced): spmm then reduces over distinct (dst, src)
+    # pairs with summed weights — ~20-28% fewer gather rows at reference
+    # scale. Static so the jitted program specializes on it.
+    coalesced: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
 
 DEFAULT_PACKS = (2, 4, 8)
@@ -116,16 +122,22 @@ def _deinterleave_w(w_aligned: jax.Array, packs=DEFAULT_PACKS,
 
 
 def prepare_weights(graph: Graph, edge_w: jax.Array,
-                    dtype=None, packs=DEFAULT_PACKS) -> EdgeWeights:
+                    dtype=None, packs=DEFAULT_PACKS,
+                    coalesce: bool = False) -> EdgeWeights:
     """Stage canonical edge weights into both aligned layouts.
 
     dtype: optional weight dtype (bf16 halves the per-step weight stream
     and keeps the vals multiply in the low-precision domain — see spmm).
-    Also precomputes the deinterleaved f32 forms the packed kernel wants;
-    the transposes run once per epoch and amortize over every CF step.
+    Also precomputes the strip f32 forms the packed kernel wants.
     packs: which pack widths to stage (see packs_for).
+    coalesce: stage into the multi-edge-coalesced layouts instead (see
+    coalesce_weights) — fewer SpMM gather rows; requires a concrete
+    (host-built) graph, so not usable inside shard_map.
     """
     wm = edge_w * graph.edge_mask
+    if coalesce:
+        return coalesce_weights(graph, wm[graph.fwd_layout.gather],
+                                dtype=dtype, packs=packs)
     if dtype is not None:
         wm = wm.astype(dtype)
     fwd = wm[graph.fwd_layout.gather]
@@ -134,6 +146,46 @@ def prepare_weights(graph: Graph, edge_w: jax.Array,
         fwd=fwd, rev=rev,
         fwd_t=_deinterleave_w(fwd, packs, graph.fwd_layout.chunk_edges),
         rev_t=_deinterleave_w(rev, packs, graph.rev_layout.chunk_edges))
+
+
+def coalesce_weights(graph: Graph, w_fwd_aligned: jax.Array,
+                     dtype=None, packs=DEFAULT_PACKS) -> EdgeWeights:
+    """Stage fwd-aligned edge weights into the multi-edge-COALESCED
+    layouts (graph.build_coalesced): members of a multi-edge collapse to
+    one SpMM position with their weights summed.
+
+    Three device steps, all cheap relative to the rev-layout scalar take
+    they extend/replace: (1) within-run running sums via cap-1 shifted
+    masked adds over the (E_al,) stream (members are adjacent — the
+    canonical order sorts within segments by src); (2)+(3) one static
+    SORTED take per layout picking each group's last running sum (=
+    its total) straight into coalesced-aligned order. Dead positions
+    pick index E_al -> fill 0.
+
+    Differentiable end to end (shifts/takes are linear), so autograd
+    w.r.t. the underlying per-edge weights works — though the trainer
+    stages attention under stop_gradient anyway (SURVEY.md §3.1).
+    """
+    from kgat_tpu.graph import build_coalesced
+    co = build_coalesced(graph)
+    w32 = w_fwd_aligned.astype(jnp.float32)
+    acc = w32
+    for j in range(1, co.cap):
+        shifted = jnp.concatenate([jnp.zeros((j,), jnp.float32), w32[:-j]])
+        acc = acc + jnp.where(co.within >= j, shifted, 0.0)
+    # Force the running sum to materialize: XLA otherwise fuses the whole
+    # shifted-add chain INTO the two gathers, recomputing it per picked
+    # element (the same trap pack_gathered documents — measured 2x here).
+    acc = jax.lax.optimization_barrier(acc)
+    wf = jnp.take(acc, co.pick_fwd, mode="fill", fill_value=0.0)
+    wr = jnp.take(acc, co.pick_rev, mode="fill", fill_value=0.0)
+    if dtype is not None:
+        wf, wr = wf.astype(dtype), wr.astype(dtype)
+    return EdgeWeights(
+        fwd=wf, rev=wr,
+        fwd_t=_deinterleave_w(wf, packs, co.fwd.chunk_edges),
+        rev_t=_deinterleave_w(wr, packs, co.rev.chunk_edges),
+        coalesced=True)
 
 
 def _layout_reduce(layout, w_aligned, x, n_nodes,
@@ -202,14 +254,20 @@ def spmm(graph: Graph, edge_w, x: jax.Array) -> jax.Array:
 
     ``edge_w`` is either canonical (E_pad,) weights or a prepared
     :class:`EdgeWeights` (preferred in hot loops — see EdgeWeights).
+    Coalesced EdgeWeights reduce over the distinct-pair layouts instead.
     """
     ew = edge_w if isinstance(edge_w, EdgeWeights) \
         else prepare_weights(graph, edge_w)
+    if ew.coalesced:
+        from kgat_tpu.graph import build_coalesced
+        co = build_coalesced(graph)
+        lay_f, lay_r = co.fwd, co.rev
+    else:
+        lay_f, lay_r = graph.fwd_layout, graph.rev_layout
     pack = pack_for_dim(x.shape[-1])
     w_fwd_t = ew.fwd_t.get(pack) if isinstance(ew.fwd_t, dict) else None
     w_rev_t = ew.rev_t.get(pack) if isinstance(ew.rev_t, dict) else None
-    return _spmm_p(ew.fwd, ew.rev, w_fwd_t, w_rev_t, x,
-                   graph.fwd_layout, graph.rev_layout)
+    return _spmm_p(ew.fwd, ew.rev, w_fwd_t, w_rev_t, x, lay_f, lay_r)
 
 
 def _attention_logits_flat(params, graph: Graph) -> jax.Array:
@@ -235,28 +293,149 @@ def attention_logits(params, graph: Graph, cfg) -> jax.Array:
     return logits.at[graph.att_gather].set(flat, mode="drop")
 
 
+# Dense-projection attention: max total bytes for the two (R*N, k)
+# projected tables before auto falls back to the relation-blocked SDDMM.
+# NOT a memory-fit bound — a locality bound: measured on v5e, full-lane
+# strip gathers run 7.25 ms/E_al rows from a 45 MB table but 51.7 ms from
+# a 1.5 GB table (per-row cost grows ~7x once the working set leaves
+# cache), which makes dense SLOWER than relblock+route at reference scale
+# (both presets need ~6 GB f32 of tables). Dense wins only while tables
+# stay cache-resident; see ROADMAP "dense-projection negative result".
+ATT_DENSE_MAX_BYTES = 1.5e8
+
+
+def use_dense_attention(graph: Graph, cfg) -> bool:
+    """att_impl resolution: 'dense' | 'relblock' | 'auto' (by table size).
+
+    The dense path needs relation_dim <= 128 dividing 128 (for the
+    strip-packed table gathers) and both projected tables to fit in HBM.
+    """
+    impl = getattr(cfg, "att_impl", "auto")
+    if impl == "relblock":
+        return False
+    k = getattr(cfg, "relation_dim", 64)
+    fits = (k <= 128 and 128 % k == 0)
+    dt = getattr(cfg, "att_table_dtype", None)
+    nbytes = 2 if dt == jnp.bfloat16 else 4
+    size_ok = 2 * graph.n_relations * graph.n_nodes * k * nbytes \
+        <= ATT_DENSE_MAX_BYTES
+    if impl == "dense":
+        if not fits:
+            raise ValueError(f"att_impl='dense' needs relation_dim {k} "
+                             "to divide 128")
+        return True
+    return fits and size_ok
+
+
+def _dense_att_idx(graph: Graph, q: int):
+    """Strip-packed (R*N)-table row indices per fwd-aligned position.
+
+    For aligned position p with relation r_p: head index
+    ih = r_p * n_nodes + dst_p (the tanh-table row), tail index
+    it = r_p * n_nodes + src_p (the projection-table row). Packed
+    EDGE-INTERLEAVED into q = 128//k strips (ih_t[j, m] = ih[m*q + j])
+    so the q gathered (E_al/q, k) strips lane-concat into full-lane rows
+    AND the per-strip row dots land LINEARLY in fwd-aligned order (strip
+    j of packed row m is position m*q + j). Host-precomputed once per
+    graph; dead positions carry relation 0 / node 0 (their softmax
+    output is zeroed by the bounds mask regardless).
+    """
+    cache = getattr(graph, "_dense_att", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(graph, "_dense_att", cache)
+    if q not in cache:
+        from kgat_tpu.graph import host_array
+        lay = graph.fwd_layout
+        gat = host_array(lay, "gather")
+        ety = host_array(graph, "etype")[np.minimum(gat,
+                                                    graph.n_edges_pad - 1)]
+        ety = np.where(gat < graph.n_edges, ety, 0).astype(np.int64)
+        base = ety * graph.n_nodes
+        ih = base + host_array(lay, "seg")    # dst = segment (tanh table)
+        it = base + host_array(lay, "node")   # src = other endpoint
+        pack = lambda v: jnp.asarray(np.ascontiguousarray(  # noqa: E731
+            v.reshape(-1, q).T.astype(np.int32)))
+        # Cached arrays must be concrete even when first touched inside a
+        # jit trace, or they leak as tracers into later traces.
+        with jax.ensure_compile_time_eval():
+            cache[q] = (pack(ih), pack(it))
+    return cache[q]
+
+
+def _attention_logits_fwd_dense(params, graph: Graph, cfg) -> jax.Array:
+    """TransR logits (A4) DIRECTLY in fwd-aligned order via dense
+    per-relation projected tables — no relation-blocked layout, no
+    att->fwd permutation gather.
+
+    Build Q[r, n] = emb[n] @ W_r and T[r, n] = tanh(Q[r, n] + e_r) once
+    (batched MXU einsum over all relations), then per aligned position
+    logit = Q[r, src] . T[r, dst] with two strip-packed full-lane row
+    gathers. Replaces the relation-blocked SDDMM kernel (2 half-lane
+    gathers + kernel) AND the att->fwd scalar permutation (~35 ms at
+    Yelp2018 scale — scalar takes run ~2x slower per row than full-lane
+    row gathers on v5e).
+    """
+    k = cfg.relation_dim
+    q = 128 // k
+    emb = params["entity_embed"]
+    # HIGHEST: parity with the relation-blocked path / ref oracle (the
+    # MXU's DEFAULT f32 dot truncates to bf16 passes).
+    qt = jnp.einsum("rdk,nd->rnk", params["w_rel"], emb,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    tt = jnp.tanh(qt + params["rel_embed"][:, None, :])
+    dt = getattr(cfg, "att_table_dtype", None)
+    if dt is not None:
+        qt, tt = qt.astype(dt), tt.astype(dt)
+    q2 = qt.reshape(-1, k)
+    t2 = tt.reshape(-1, k)
+    if q == 1:
+        ih, it = _dense_att_idx(graph, 1)
+        prod = q2[it[0]].astype(jnp.float32) * t2[ih[0]].astype(jnp.float32)
+        return jnp.sum(prod, axis=-1)
+    ih, it = _dense_att_idx(graph, q)
+    qg = jnp.concatenate([q2[it[j]] for j in range(q)], axis=1)
+    tg = jnp.concatenate([t2[ih[j]] for j in range(q)], axis=1)
+    prod = qg.astype(jnp.float32) * tg.astype(jnp.float32)
+    e_al = graph.fwd_layout.n_chunks * graph.fwd_layout.chunk_edges
+    return prod.reshape(-1, q, k).sum(-1).reshape(e_al)
+
+
+def attention_logits_fwd(params, graph: Graph, cfg) -> jax.Array:
+    """Fwd-aligned TransR logits: dense-projection route when the tables
+    fit (see use_dense_attention), else the relation-blocked SDDMM kernel
+    + one inverse-permutation take."""
+    if use_dense_attention(graph, cfg):
+        return _attention_logits_fwd_dense(params, graph, cfg)
+    flat = _attention_logits_flat(params, graph)
+    return jnp.take(flat, graph.fwd_from_att, mode="fill", fill_value=0.0)
+
+
 def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:
     """The fused attention pipeline: logits -> softmax -> EdgeWeights,
     entirely in aligned layouts (A4 + A5).
 
-    Avoids the canonical-order round trip: one inverse-permutation GATHER
-    (graph.fwd_from_att, host-precomputed — a scatter of the same routing
-    serializes on TPU) moves the relation-blocked logits straight into the
-    forward-aligned order, the Pallas segment softmax (kernels/softmax.py)
-    normalizes there, and the reverse weights are one static-permutation
-    take. The XLA-composed path measured ~285ms of scalar scatter/gather +
-    softmax at Yelp2018 scale; this pipeline replaces all of it with two
-    takes + three streaming kernel passes.
+    Avoids the canonical-order round trip entirely: fwd-aligned logits
+    come from the dense-projection route (or the relation-blocked SDDMM
+    kernel + one inverse-permutation GATHER — graph.fwd_from_att,
+    host-precomputed; a scatter of the same routing serializes on TPU),
+    the Pallas segment softmax (kernels/softmax.py) normalizes there, and
+    the reverse weights are one static-permutation take. The XLA-composed
+    path measured ~285ms of scalar scatter/gather + softmax at Yelp2018
+    scale; this pipeline replaces all of it with streaming kernel passes.
     """
     from kgat_tpu.ops.pallas.softmax import segment_softmax_aligned_ad
-    flat = _attention_logits_flat(params, graph)
-    logits_fwd = jnp.take(flat, graph.fwd_from_att, mode="fill",
-                          fill_value=0.0)
+    logits_fwd = attention_logits_fwd(params, graph, cfg)
     w_fwd = segment_softmax_aligned_ad(logits_fwd, graph.fwd_layout)
+    packs = packs_for(cfg) if hasattr(cfg, "conv_dims") else DEFAULT_PACKS
+    if getattr(cfg, "coalesce", False):
+        return coalesce_weights(graph, w_fwd,
+                                dtype=getattr(cfg, "compute_dtype", None),
+                                packs=packs)
     if getattr(cfg, "compute_dtype", None) is not None:
         w_fwd = w_fwd.astype(cfg.compute_dtype)
     w_rev = jnp.take(w_fwd, graph.rev_from_fwd, mode="fill", fill_value=0.0)
-    packs = packs_for(cfg) if hasattr(cfg, "conv_dims") else DEFAULT_PACKS
     return EdgeWeights(
         fwd=w_fwd, rev=w_rev,
         fwd_t=_deinterleave_w(w_fwd, packs, graph.fwd_layout.chunk_edges),

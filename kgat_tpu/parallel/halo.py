@@ -217,8 +217,11 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         zero-comm under dst partitioning, so each shard runs the same
         pipeline as single-chip `attention_prepared` — relation-blocked
         SDDMM kernel -> one fwd-aligned take -> Pallas segment softmax —
-        instead of the canonical-order XLA softmax. Returns the fwd-aligned
-        weights; canonical order is one static take (canon_to_fwd)."""
+        instead of the canonical-order XLA softmax. (The single-device
+        dense-projection logits route needs host-precomputed index strips,
+        which a traced shard graph cannot supply inside shard_map — the
+        relblock route is the partitioned equivalent.) Returns the
+        fwd-aligned weights; canonical order is one take (canon_to_fwd)."""
         from kgat_tpu.ops.pallas.softmax import segment_softmax_aligned
         flat = pb._attention_logits_flat(params, g)
         logits_fwd = jnp.take(flat, g.fwd_from_att, mode="fill",

@@ -104,6 +104,14 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--reg-kg", type=float, default=None,
                    help="L2 reg on TransR triples (reference --regs[1])")
     p.add_argument("--ops-backend", default=None, choices=["ref", "pallas"])
+    p.add_argument("--att-impl", default=None,
+                   choices=["auto", "dense", "relblock"],
+                   help="attention logits route (pallas backend): dense "
+                        "per-relation projected tables vs the relation-"
+                        "blocked SDDMM kernel; auto picks by table size")
+    p.add_argument("--no-coalesce", action="store_true",
+                   help="disable multi-edge coalescing of the SpMM hot "
+                        "loop (single-device pallas backend)")
     p.add_argument("--compute-dtype", default=None,
                    choices=["f32", "bf16"],
                    help="SpMM value-stream dtype (pallas backend); bf16 "
@@ -191,6 +199,10 @@ def parse_args(argv=None) -> TrainConfig:
         m["reg_kg"] = a.reg_kg
     if a.ops_backend:
         m["ops_backend"] = a.ops_backend
+    if a.att_impl:
+        m["att_impl"] = a.att_impl
+    if a.no_coalesce:
+        m["coalesce"] = False
     if a.compute_dtype:
         import jax.numpy as jnp
         m["compute_dtype"] = (jnp.bfloat16 if a.compute_dtype == "bf16"

@@ -119,6 +119,8 @@ def test_pallas_attention_grads_match_ref(graph_meta, rng):
                                    rtol=1e-3, atol=1e-4, err_msg=k)
 
     # The fused pipeline (aligned softmax) must be differentiable too.
+    cfg_pal = KGATConfig(ops_backend="pallas", coalesce=False)
+
     def loss_prep(p):
         ew = pb.attention_prepared(p, g, cfg_pal)
         return jnp.sum(ew.fwd ** 2) + jnp.sum(ew.rev ** 2)
@@ -136,17 +138,22 @@ def test_pallas_attention_grads_match_ref(graph_meta, rng):
                                    rtol=1e-3, atol=1e-4, err_msg=k)
 
 
-def test_fused_attention_pipeline_matches_ref(graph_meta):
-    """attention_prepared (scatter->aligned softmax->take) must equal the
-    canonical-path softmax gathered into both layouts."""
+@pytest.mark.parametrize("att_impl", ["dense", "relblock"])
+def test_fused_attention_pipeline_matches_ref(graph_meta, att_impl):
+    """attention_prepared (fwd-aligned logits -> aligned softmax -> take)
+    must equal the canonical-path softmax gathered into both layouts, on
+    BOTH logits routes (dense projected tables / relation-blocked SDDMM
+    kernel + inverse-permutation take)."""
     g, meta = graph_meta
     cfg_ref = KGATConfig(ops_backend="ref")
-    cfg_pal = KGATConfig(ops_backend="pallas")
+    cfg_pal = KGATConfig(ops_backend="pallas", att_impl=att_impl,
+                         coalesce=False)
     params = kgat.init_params(jax.random.key(8), meta.n_nodes,
                               meta.n_relations, cfg_ref)
     att = kgat.compute_attention(params, g, cfg_ref)
     want = pb.prepare_weights(g, att)
     with pltpu.force_tpu_interpret_mode():
+        assert pb.use_dense_attention(g, cfg_pal) == (att_impl == "dense")
         got = pb.attention_prepared(params, g, cfg_pal)
     np.testing.assert_allclose(np.asarray(got.fwd), np.asarray(want.fwd),
                                rtol=1e-4, atol=1e-6)
@@ -174,5 +181,64 @@ def test_packed_reduce_matches_legacy(graph_meta, rng, d):
         w_t = w.reshape(lay.n_chunks, pack, lay.chunk_edges // pack)
         got = segment_sum_packed(pack_gathered(x, lay, pack), w_t, lay,
                                  g.n_nodes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_coalesced_spmm_matches_ref(graph_meta, rng):
+    """Coalesced staging (distinct-(dst,src) layouts + summed weights)
+    must reproduce the per-edge SpMM exactly — forward and d_x/d_w."""
+    from kgat_tpu.graph import build_coalesced
+    g, meta = graph_meta
+    co = build_coalesced(g)
+    assert co.n_pairs < g.n_edges  # the test graph must have multi-edges
+    w = jnp.asarray(rng.uniform(size=g.n_edges_pad).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, 64)).astype(np.float32))
+    want = ref_ops.spmm(g, w, x)
+    with pltpu.force_tpu_interpret_mode():
+        ew = pb.prepare_weights(g, w, coalesce=True)
+        assert ew.coalesced
+        assert ew.fwd.shape[0] == co.fwd.n_chunks * co.fwd.chunk_edges
+        got = pb.spmm(g, ew, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # Gradients: d_x through the coalesced reduce, d_w through the whole
+    # differentiable staging chain (shifted adds + picks are linear).
+    cot = jnp.asarray(rng.normal(size=(g.n_nodes, 64)).astype(np.float32))
+
+    def loss(f):
+        return lambda w_, x_: jnp.vdot(f(w_, x_), cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        dw_c, dx_c = jax.grad(
+            loss(lambda w_, x_: pb.spmm(
+                g, pb.prepare_weights(g, w_, coalesce=True), x_)),
+            argnums=(0, 1))(w, x)
+    dw_r, dx_r = jax.grad(loss(lambda w_, x_: ref_ops.spmm(g, w_, x_)),
+                          argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-4)
+    real = np.asarray(g.edge_mask) > 0
+    np.testing.assert_allclose(np.asarray(dw_c)[real],
+                               np.asarray(dw_r)[real],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_coalesced_attention_propagate_matches_ref(graph_meta):
+    """Full pallas path with coalesce=True (the production default) must
+    match the ref backend end to end (attention -> staged weights ->
+    propagate)."""
+    g, meta = graph_meta
+    cfg_ref = KGATConfig(ops_backend="ref")
+    cfg_pal = KGATConfig(ops_backend="pallas", coalesce=True)
+    params = kgat.init_params(jax.random.key(21), meta.n_nodes,
+                              meta.n_relations, cfg_ref)
+    att = kgat.compute_attention(params, g, cfg_ref)
+    want = kgat.propagate(params, g, att, cfg_ref)
+    with pltpu.force_tpu_interpret_mode():
+        ew = kgat.attention_for_training(params, g, cfg_pal)
+        assert ew.coalesced
+        got = kgat.propagate(params, g, ew, cfg_pal)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
