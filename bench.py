@@ -302,15 +302,18 @@ def bench_partitioned(ds, graph, meta, backend: str, batch: int, iters: int,
     pg, info = partition_graph(coo["src"], coo["dst"], coo["etype"],
                                meta.n_nodes, meta.n_relations, n_ep,
                                mesh=mesh)
-    rb = sh = None
+    rb = sh = co = None
     if exchange == "ring":
         rb = build_ring_buckets(coo["src"], coo["dst"], info, mesh=mesh)
     elif exchange == "a2a":
         sh = build_selective_halo(coo["src"], coo["dst"], info, mesh=mesh)
+    elif getattr(cfg, "coalesce", False) and backend == "pallas":
+        from kgat_tpu.parallel.partition import build_coalesced_shards
+        co = build_coalesced_shards(pg, info, mesh=mesh)
     attention, propagate_eval, make_cf_step, _ = make_partitioned(
         mesh, pg, info, meta, cfg, exchange=exchange, ring_buckets=rb,
         sel_halo=sh, ring_transport=ring_transport,
-        dp_axis="dp" if dp > 1 else None)
+        dp_axis="dp" if dp > 1 else None, coalesced=co)
 
     att_timed = jax.jit(lambda p, i: sum(
         jnp.sum(x.astype(jnp.float32)) for x in

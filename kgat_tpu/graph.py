@@ -335,6 +335,7 @@ def _build_aligned_layout(seg: np.ndarray, other: np.ndarray,
     return layout
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CoalescedLayouts:
     """Multi-edge-coalesced SpMM layouts + the weight-staging statics.
@@ -367,8 +368,96 @@ class CoalescedLayouts:
     # total); dead positions point one-past-the-end (take mode='fill').
     pick_fwd: Any
     pick_rev: Any
-    cap: int
-    n_pairs: int
+    cap: int = dataclasses.field(metadata=dict(static=True))
+    # Distinct-pair count; -1 on stacked SPMD shards (shard-dependent).
+    n_pairs: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _coalesce_pairs_host(lay: "AlignedLayout", real: np.ndarray, cap: int):
+    """Host pass: group equal-(seg,node) runs of the fwd-aligned stream
+    (members are adjacent — canonical order sorts within segments by the
+    other endpoint), splitting runs longer than `cap`. Returns the group
+    statics the layout builds and weight staging need."""
+    node = host_array(lay, "node").astype(np.int64)
+    seg = host_array(lay, "seg").astype(np.int64)
+    e_al = len(node)
+    kmul = int(node.max(initial=0)) + 2
+    # Dead positions get unique keys: they never join (or start) a run.
+    key = np.where(real, seg * kmul + node,
+                   -1 - np.arange(e_al, dtype=np.int64))
+    starts = np.ones(e_al, bool)
+    starts[1:] = key[1:] != key[:-1]
+    pos = np.arange(e_al, dtype=np.int64)
+    run_start_pos = np.maximum.accumulate(np.where(starts, pos, 0))
+    within_run = pos - run_start_pos
+    gstart = starts | (within_run % cap == 0)
+    # Group ends: positions whose successor starts a new group (groups are
+    # consecutive, so end positions are ordered by group id).
+    last_pos = np.nonzero(np.append(gstart[1:], True))[0].astype(np.int64)
+    gpos = np.nonzero(gstart)[0]
+    gsel = np.nonzero(real[gpos])[0]               # real groups, stream order
+    return {
+        "within": (within_run % cap).astype(np.int32),
+        "cdst": seg[gpos[gsel]],                   # group dst (fwd segment)
+        "csrc": node[gpos[gsel]],                  # group src (fwd other)
+        # pick table: real group -> original position of its last member
+        # (where the running sum equals the group total); index n_pairs
+        # (the coalesced dead slot) is OOB -> take fills 0.
+        "pick_tab": np.append(last_pos[gsel], e_al).astype(np.int64),
+        "n_pairs": int(len(gsel)),
+        "e_al": e_al,
+    }
+
+
+def _real_positions(g: "Graph", lay: "AlignedLayout") -> np.ndarray:
+    """(E_al,) bool: aligned position carries a real edge (mask-based, so
+    it also works on SPMD shards whose n_edges is a -1 sentinel)."""
+    gat = host_array(lay, "gather")
+    mask = host_array(g, "edge_mask")
+    return mask[np.minimum(gat, len(mask) - 1)] > 0
+
+
+def build_coalesced_layouts(g: "Graph", cap: int = 8, *,
+                            n_rows_fwd: int | None = None,
+                            n_rows_rev: int | None = None,
+                            force_fwd_chunks: int | None = None,
+                            force_rev_chunks: int | None = None,
+                            ) -> CoalescedLayouts:
+    """Uncached coalesced-layout build (see CoalescedLayouts).
+
+    n_rows_fwd/n_rows_rev: segment-row bounds of the two layouts —
+    g.n_nodes for a single-device graph; (rows_per_part, n_nodes_pad) for
+    a partitioned shard whose fwd segments are local and rev segments
+    global (parallel/partition.py conventions). force_*_chunks pin
+    shard-uniform SPMD shapes.
+    """
+    lay = g.fwd_layout
+    n_rows_fwd = g.n_nodes if n_rows_fwd is None else n_rows_fwd
+    n_rows_rev = g.n_nodes if n_rows_rev is None else n_rows_rev
+    pr = _coalesce_pairs_host(lay, _real_positions(g, lay), cap)
+    n_pairs = pr["n_pairs"]
+    # Canonical coalesced edge order = stream order (dst-major, src
+    # within — inherited); identity order for fwd, builder sorts for rev.
+    fwd_c = _build_aligned_layout(
+        pr["cdst"], pr["csrc"], n_rows_fwd, dead_slot=n_pairs,
+        order=np.arange(n_pairs, dtype=np.int64),
+        chunk_edges=lay.chunk_edges, sort_within_seg=False,
+        force_chunks=force_fwd_chunks)
+    rev_c = _build_aligned_layout(
+        pr["csrc"], pr["cdst"], n_rows_rev, dead_slot=n_pairs,
+        chunk_edges=g.rev_layout.chunk_edges,
+        force_chunks=force_rev_chunks)
+
+    def _pick(clay):
+        cg = host_array(clay, "gather")
+        return jnp.asarray(
+            pr["pick_tab"][np.minimum(cg, n_pairs)].astype(np.int32))
+
+    return CoalescedLayouts(
+        fwd=fwd_c, rev=rev_c,
+        within=jnp.asarray(pr["within"]),
+        pick_fwd=_pick(fwd_c), pick_rev=_pick(rev_c),
+        cap=int(cap), n_pairs=n_pairs)
 
 
 def build_coalesced(g: "Graph", cap: int = 8) -> CoalescedLayouts:
@@ -381,59 +470,7 @@ def build_coalesced(g: "Graph", cap: int = 8) -> CoalescedLayouts:
     # graph); the cached device arrays must be CONCRETE, not trace-scoped
     # constants, or they leak as tracers into later traces.
     with jax.ensure_compile_time_eval():
-        return _build_coalesced_concrete(g, cap)
-
-
-def _build_coalesced_concrete(g: "Graph", cap: int) -> CoalescedLayouts:
-    lay = g.fwd_layout
-    node = host_array(lay, "node").astype(np.int64)
-    seg = host_array(lay, "seg").astype(np.int64)
-    gat = host_array(lay, "gather")
-    e_al = len(gat)
-    real = gat < g.n_edges
-    # Dead positions get unique keys: they never join (or start) a run.
-    key = np.where(real, seg * (g.n_nodes + 1) + node,
-                   -1 - np.arange(e_al, dtype=np.int64))
-    starts = np.ones(e_al, bool)
-    starts[1:] = key[1:] != key[:-1]
-    pos = np.arange(e_al, dtype=np.int64)
-    run_start_pos = np.maximum.accumulate(np.where(starts, pos, 0))
-    within_run = pos - run_start_pos
-    within = (within_run % cap).astype(np.int32)
-    gstart = starts | (within_run % cap == 0)
-    # Group ends: positions whose successor starts a new group (groups are
-    # consecutive, so end positions are ordered by group id).
-    last_pos = np.nonzero(np.append(gstart[1:], True))[0].astype(np.int64)
-    gpos = np.nonzero(gstart)[0]
-    g_real = real[gpos]
-    gsel = np.nonzero(g_real)[0]                   # real groups, stream order
-    cdst = seg[gpos[gsel]].astype(np.int32)
-    csrc = node[gpos[gsel]].astype(np.int32)
-    n_pairs = len(gsel)
-    # pick table: real group -> original position of its last member;
-    # index n_pairs (the coalesced dead slot) is OOB -> take fills 0.
-    pick_tab = np.append(last_pos[gsel], e_al).astype(np.int64)
-
-    # Canonical coalesced edge order = stream order (dst-major, src
-    # within — inherited); identity order for fwd, builder sorts for rev.
-    fwd_c = _build_aligned_layout(
-        cdst, csrc, g.n_nodes, dead_slot=n_pairs,
-        order=np.arange(n_pairs, dtype=np.int64),
-        chunk_edges=lay.chunk_edges, sort_within_seg=False)
-    rev_c = _build_aligned_layout(
-        csrc, cdst, g.n_nodes, dead_slot=n_pairs,
-        chunk_edges=g.rev_layout.chunk_edges)
-
-    def _pick(clay):
-        cg = host_array(clay, "gather")
-        return jnp.asarray(
-            pick_tab[np.minimum(cg, n_pairs)].astype(np.int32))
-
-    co = CoalescedLayouts(
-        fwd=fwd_c, rev=rev_c,
-        within=jnp.asarray(within),
-        pick_fwd=_pick(fwd_c), pick_rev=_pick(rev_c),
-        cap=int(cap), n_pairs=n_pairs)
+        co = build_coalesced_layouts(g, cap)
     object.__setattr__(g, "_coal", co)
     return co
 

@@ -167,7 +167,15 @@ def coalesce_weights(graph: Graph, w_fwd_aligned: jax.Array,
     stages attention under stop_gradient anyway (SURVEY.md §3.1).
     """
     from kgat_tpu.graph import build_coalesced
-    co = build_coalesced(graph)
+    return coalesce_weights_from(build_coalesced(graph), w_fwd_aligned,
+                                 dtype=dtype, packs=packs)
+
+
+def coalesce_weights_from(co, w_fwd_aligned: jax.Array,
+                          dtype=None, packs=DEFAULT_PACKS) -> EdgeWeights:
+    """Device math of :func:`coalesce_weights` given a prebuilt
+    CoalescedLayouts — also usable inside shard_map with a shard-local
+    (traced) `co` pytree (parallel/halo.py)."""
     w32 = w_fwd_aligned.astype(jnp.float32)
     acc = w32
     for j in range(1, co.cap):

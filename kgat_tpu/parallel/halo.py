@@ -143,7 +143,7 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                      meta: CKGMeta, cfg: kgat.KGATConfig,
                      exchange: str = "allgather", ring_buckets=None,
                      sel_halo=None, ring_transport: str = "ppermute",
-                     dp_axis: str | None = None):
+                     dp_axis: str | None = None, coalesced=None):
     """Build jitted partitioned attention / propagate / cf-step callables.
 
     exchange:
@@ -177,6 +177,13 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
       = 1D ep-only mesh. All three ring transports work on 2D meshes:
       the DMA kernels address peers by full mesh coordinates, so each dp
       row runs its own independent ring.
+
+    coalesced: stacked CoalescedLayouts (partition.build_coalesced_shards)
+      — multi-edge coalescing of the per-shard SpMM, the partitioned twin
+      of the single-device production default (~20-28% fewer gather rows
+      at reference scale). Supported on the 'allgather' exchange with the
+      pallas backend; the ring/a2a bucket layouts are their own edge
+      groupings and are not coalesced.
     """
     N, n_pad, R = info.n_nodes_global, info.n_nodes_pad, info.rows_per_part
     nP = info.n_parts
@@ -191,7 +198,11 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         raise ValueError(f"unknown exchange {exchange!r}")
     ring = exchange == "ring"
     a2a = exchange == "a2a"
-    extra = ring_buckets if ring else (sel_halo if a2a else None)
+    if coalesced is not None and (ring or a2a or cfg.ops_backend != "pallas"):
+        raise ValueError("coalesced layouts require exchange='allgather' "
+                         "and the pallas backend")
+    extra = ring_buckets if ring else (
+        sel_halo if a2a else coalesced)
     if ring_transport not in ("ppermute", "dma", "fused"):
         raise ValueError(f"unknown ring_transport {ring_transport!r}")
     batch_axes = AXIS if dp_axis is None else (dp_axis, AXIS)
@@ -235,13 +246,22 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
             att = jnp.take(w_fwd, g.canon_to_fwd, mode="fill",
                            fill_value=0.0)
             if not (ring or a2a):
+                packs = pb.packs_for(cfg)
+                if coalesced is not None:
+                    # Shard-local multi-edge coalescing: same device math
+                    # as single-chip (the CoalescedLayouts shard rides the
+                    # shard_map inputs — its host build needed the
+                    # concrete shard graphs, see build_coalesced_shards).
+                    co = _local(ex_stack[0])
+                    ew = pb.coalesce_weights_from(
+                        co, w_fwd, dtype=cfg.compute_dtype, packs=packs)
+                    return jax.tree.map(lambda a: a[None], (att, ew))
                 # Stage the aligned forms straight off w_fwd (the fused
                 # pipeline's tail, as in pb.attention_prepared).
                 if cfg.compute_dtype is not None:
                     w_fwd = w_fwd.astype(cfg.compute_dtype)
                 w_rev = jnp.take(w_fwd, g.rev_from_fwd, mode="fill",
                                  fill_value=0.0)
-                packs = pb.packs_for(cfg)
                 ew = pb.EdgeWeights(
                     fwd=w_fwd, rev=w_rev,
                     fwd_t=pb._deinterleave_w(w_fwd, packs,
@@ -305,7 +325,7 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                         rb_stack=None):
         g = _local(g_stack)
         ew = _local(ew_stack)
-        ex = _local(rb_stack) if (ring or a2a) else None
+        ex = _local(rb_stack) if extra is not None else None
         p_idx = jax.lax.axis_index(AXIS)
         ego_g = params["entity_embed"]
         x = jnp.pad(ego_g, ((0, n_pad - N), (0, 0)))
@@ -327,8 +347,10 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                 side = pspmm(ew.fwd, ew.rev, None, None, local_x,
                              ex.fwd, ex.rev)
             else:
+                lay_f, lay_r = ((ex.fwd, ex.rev) if coalesced is not None
+                                else (g.fwd_layout, g.rev_layout))
                 side = pspmm(ew.fwd, ew.rev, ew.fwd_t, ew.rev_t, x,
-                             g.fwd_layout, g.rev_layout)
+                             lay_f, lay_r)
                 ego = jax.lax.dynamic_slice(x, (p_idx * R, 0),
                                             (R, x.shape[1]))
             slope = cfg.leaky_relu_slope

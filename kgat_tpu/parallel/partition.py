@@ -301,6 +301,48 @@ def build_selective_halo(src: np.ndarray, dst: np.ndarray,
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_shard)
 
 
+def build_coalesced_shards(pgraph: Graph, info: PartitionInfo, mesh=None,
+                           cap: int = 8):
+    """Stacked multi-edge-coalesced layouts for partitioned shards.
+
+    pgraph: the stacked Graph from `partition_graph` (it keeps the
+    per-shard host Graphs on `_shards` — coalescing must see the EXACT
+    fwd layouts the stack carries). Segment-row bounds follow the shard
+    conventions (fwd local rows, rev global rows); chunk budgets are
+    forced shard-uniform so the stack is one SPMD pytree. n_pairs is
+    shard-dependent -> -1 sentinel (static fields must be uniform).
+    """
+    import dataclasses as _dc
+
+    from kgat_tpu.graph import build_coalesced_layouts
+
+    pshards = getattr(pgraph, "_shards", None)
+    if pshards is None:
+        raise ValueError("pgraph has no _shards host cache: pass the "
+                         "Graph object partition_graph returned, not a "
+                         "pytree-transformed copy")
+    fwd_need = rev_need = 1
+    pre = []
+    for g in pshards:
+        co = build_coalesced_layouts(g, cap, n_rows_fwd=info.rows_per_part,
+                                     n_rows_rev=info.n_nodes_pad)
+        pre.append(co)
+        fwd_need = max(fwd_need, co.fwd.n_chunks)
+        rev_need = max(rev_need, co.rev.n_chunks)
+    per_shard = []
+    for g, co in zip(pshards, pre):
+        if (co.fwd.n_chunks, co.rev.n_chunks) != (fwd_need, rev_need):
+            co = build_coalesced_layouts(
+                g, cap, n_rows_fwd=info.rows_per_part,
+                n_rows_rev=info.n_nodes_pad,
+                force_fwd_chunks=fwd_need, force_rev_chunks=rev_need)
+        per_shard.append(_dc.replace(co, n_pairs=-1))
+    if mesh is not None:
+        from kgat_tpu.parallel.multihost import stack_pytrees
+        return stack_pytrees(per_shard, mesh, axis=_stack_axis(mesh))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_shard)
+
+
 def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
                     n_nodes: int, n_relations: int, n_parts: int,
                     mesh=None, chunk_edges: int = ALIGN_CHUNK_EDGES,
@@ -366,6 +408,9 @@ def partition_graph(src: np.ndarray, dst: np.ndarray, etype: np.ndarray,
         stacked = stack_pytrees(built, mesh, axis=_stack_axis(mesh))
     else:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
+    # Host cache of the per-shard Graphs: build_coalesced_shards derives
+    # its layouts from the exact shard fwd layouts stacked here.
+    object.__setattr__(stacked, "_shards", built)
     return stacked, info
 
 
@@ -421,7 +466,7 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
     row_offsets = np.searchsorted(dst_local_pad,
                                   np.arange(R + 2)).astype(np.int32)
 
-    return Graph(
+    out = Graph(
         src=g.src,
         dst=jnp.asarray(dst_global),
         etype=g.etype,
@@ -440,3 +485,15 @@ def _build_shard(src, dst, ety, p, info: PartitionInfo, n_relations,
         n_relations=g.n_relations,
         rel_blocks=g.rel_blocks,
     )
+    # Host mirrors (host_array's D2H fallback is pathological on TPU).
+    object.__setattr__(out, "_host", {
+        "src": host_array(g, "src"), "dst": dst_global,
+        "etype": host_array(g, "etype"), "edge_mask": mask_h,
+        "att_gather": host_array(g, "att_gather"),
+        "row_offsets": row_offsets,
+        "att_to_fwd": att_to_fwd.astype(np.int32),
+        "fwd_from_att": fwd_from_att.astype(np.int32),
+        "rev_from_fwd": rev_from_fwd.astype(np.int32),
+        "canon_to_fwd": canon_to_fwd.astype(np.int32),
+    })
+    return out

@@ -270,7 +270,7 @@ class Trainer:
         self.pgraph, self.pinfo = partition_graph(
             src, dst, ety, meta.n_nodes, meta.n_relations, n_ep,
             mesh=stack_mesh)
-        ring_buckets = sel_halo = None
+        ring_buckets = sel_halo = coalesced = None
         if cfg.halo_exchange == "ring":
             from kgat_tpu.parallel.partition import build_ring_buckets
             ring_buckets = build_ring_buckets(src, dst, self.pinfo,
@@ -279,12 +279,18 @@ class Trainer:
             from kgat_tpu.parallel.partition import build_selective_halo
             sel_halo = build_selective_halo(src, dst, self.pinfo,
                                             mesh=stack_mesh)
+        elif (getattr(cfg.model, "coalesce", False)
+              and cfg.model.ops_backend == "pallas"):
+            from kgat_tpu.parallel.partition import build_coalesced_shards
+            coalesced = build_coalesced_shards(self.pgraph, self.pinfo,
+                                               mesh=stack_mesh)
         attention_p, propagate_eval_p, _make_cf_step, make_cf_scan = \
             make_partitioned(self.mesh, self.pgraph, self.pinfo, meta,
                              cfg.model, exchange=cfg.halo_exchange,
                              ring_buckets=ring_buckets, sel_halo=sel_halo,
                              ring_transport=cfg.ring_transport,
-                             dp_axis="dp" if dp > 1 else None)
+                             dp_axis="dp" if dp > 1 else None,
+                             coalesced=coalesced)
         self._attention = lambda params: attention_p(self.pgraph, params)[1]
         self._propagate_eval = propagate_eval_p
         # batch sizes must divide the device count

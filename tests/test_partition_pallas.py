@@ -207,3 +207,50 @@ def test_2d_mesh_ring_transports_match_single(setup, transport):
     jax.block_until_ready((p_p, loss_p))
     assert np.isfinite(float(loss_p))
     assert np.isfinite(np.asarray(p_p["entity_embed"])).all()
+
+
+def test_partitioned_coalesced_matches_ref(setup):
+    """Partitioned multi-edge coalescing (allgather exchange): stacked
+    distinct-pair layouts + shard-local weight-sum staging reproduce the
+    ref result for propagate AND one grad-bearing CF step."""
+    from kgat_tpu.parallel.partition import build_coalesced_shards
+
+    ds, g, meta, coo, mesh, pg, info, cfg, params, att_ref, emb_ref = setup
+    pltpu.reset_tpu_interpret_mode_state()
+    co = build_coalesced_shards(pg, info)
+    attention, propagate_eval, make_cf_step, _ = make_partitioned(
+        mesh, pg, info, meta, cfg, coalesced=co)
+    _, ew_stack = attention(pg, params)
+    assert ew_stack.coalesced
+    emb_p = propagate_eval(ew_stack, params)
+    np.testing.assert_allclose(np.asarray(emb_p), np.asarray(emb_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # Grad-bearing step vs the single-device COALESCED pallas step.
+    opt = optax.adam(1e-3)
+    B = 16
+    u = jnp.arange(B, dtype=jnp.int32) % meta.n_users
+    ip = jnp.arange(B, dtype=jnp.int32) % meta.n_items
+    ineg = (jnp.arange(B, dtype=jnp.int32) + 3) % meta.n_items
+    w = jnp.ones(B)
+    rng = jax.random.key(9)
+    step = make_cf_step(opt)
+    p_p, _, loss_p = step(jax.tree.map(jnp.copy, params),
+                          opt.init(params), ew_stack, u, ip, ineg, w, rng)
+
+    ew_s = jax.jit(
+        lambda p: kgat.attention_for_training(p, g, cfg))(params)
+    assert ew_s.coalesced  # cfg.coalesce defaults on
+
+    @jax.jit
+    def single(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: kgat.cf_loss(p, g, ew_s, meta, u, ip, ineg, cfg,
+                                   rng=rng, train=True, weight=w))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), loss
+
+    p_s, loss_s = single(jax.tree.map(jnp.copy, params), opt.init(params))
+    np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_p["entity_embed"]),
+                               np.asarray(p_s["entity_embed"]), atol=2e-5)

@@ -84,6 +84,23 @@ def main() -> int:
     assert np.isfinite(np.asarray(gp["w_rel"])).all()
     print("attention fwd + VJP kernels ok", flush=True)
 
+    # Coalesced production path (distinct-pair layouts + summed weights)
+    # and the dense-projection logits route: both pure-XLA + the same
+    # reduce kernel at different layouts, compiled and checked on chip.
+    import dataclasses as _dc
+    want_prop = np.asarray(kgat.propagate(
+        params, g, kgat.compute_attention(params, g, cfg_ref), cfg_ref))
+    for variant in ({"coalesce": True},
+                    {"coalesce": False, "att_impl": "dense"}):
+        cfg_v = _dc.replace(cfg, **variant)
+        ew_v = jax.jit(lambda p, c=cfg_v: kgat.attention_for_training(
+            p, g, c))(params)
+        got_prop = np.asarray(jax.jit(
+            lambda p, e, c=cfg_v: kgat.propagate(p, g, e, c))(params, ew_v))
+        np.testing.assert_allclose(got_prop, want_prop, rtol=5e-3,
+                                   atol=5e-3)
+    print("coalesced + dense-route attention paths ok", flush=True)
+
     # pallas + shard_map on a real mesh(n_devices) — incl. the ring path.
     from kgat_tpu.graph import host_coo
     from kgat_tpu.parallel.dp import make_mesh
