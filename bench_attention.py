@@ -27,7 +27,7 @@ def main() -> int:
     a = p.parse_args()
 
     ds, g, meta = build(a.preset)
-    cfg = kgat.KGATConfig(ops_backend="pallas")
+    cfg = kgat.KGATConfig(ops_backend="pallas", coalesce=False)
     cfg_bf = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
     params = kgat.init_params(jax.random.key(0), meta.n_nodes,
                               meta.n_relations, cfg)
@@ -40,12 +40,20 @@ def main() -> int:
               f"M edges/s", flush=True)
         return ms
 
-    # Whole pipeline, both staging dtypes.
-    t("attention_prepared f32", lambda p_, i: jnp.sum(
-        pb.attention_prepared(p_, g, cfg).fwd.astype(jnp.float32))
-        * 1e-20 + i, params)
-    t("attention_prepared bf16", lambda p_, i: jnp.sum(
-        pb.attention_prepared(p_, g, cfg_bf).fwd.astype(jnp.float32))
+    # Whole pipeline, both staging dtypes. Sum EVERY output leaf: summing
+    # only .fwd lets XLA dead-code-eliminate the rev take + strip staging
+    # from the timed program (this hid ~45 ms in round 2's numbers).
+    def _all(ew):
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree.leaves(ew))
+
+    t("attention_prepared f32", lambda p_, i: _all(
+        pb.attention_prepared(p_, g, cfg)) * 1e-20 + i, params)
+    t("attention_prepared bf16", lambda p_, i: _all(
+        pb.attention_prepared(p_, g, cfg_bf)) * 1e-20 + i, params)
+    import dataclasses as _dc
+    t("attention+coalesce (production)", lambda p_, i: _all(
+        pb.attention_prepared(p_, g, _dc.replace(cfg_bf, coalesce=True)))
         * 1e-20 + i, params)
 
     # Stages.

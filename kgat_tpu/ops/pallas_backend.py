@@ -413,11 +413,17 @@ def _attention_logits_fwd_dense(params, graph: Graph, cfg) -> jax.Array:
 def attention_logits_fwd(params, graph: Graph, cfg) -> jax.Array:
     """Fwd-aligned TransR logits: dense-projection route when the tables
     fit (see use_dense_attention), else the relation-blocked SDDMM kernel
-    + one inverse-permutation take."""
+    + one static-permutation scatter (att_to_fwd). Scatter, not the
+    inverse gather: measured 62 vs 71 ms for the composed
+    logits+route+softmax at yelp scale on v5e — writes of the permutation
+    beat reads here (dead positions stay 0; the softmax bounds exclude
+    them regardless)."""
     if use_dense_attention(graph, cfg):
         return _attention_logits_fwd_dense(params, graph, cfg)
     flat = _attention_logits_flat(params, graph)
-    return jnp.take(flat, graph.fwd_from_att, mode="fill", fill_value=0.0)
+    e_al = graph.fwd_layout.n_chunks * graph.fwd_layout.chunk_edges
+    return jnp.zeros((e_al,), flat.dtype).at[graph.att_to_fwd].set(
+        flat, mode="drop")
 
 
 def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:

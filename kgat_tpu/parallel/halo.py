@@ -235,8 +235,9 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         fwd-aligned weights; canonical order is one take (canon_to_fwd)."""
         from kgat_tpu.ops.pallas.softmax import segment_softmax_aligned
         flat = pb._attention_logits_flat(params, g)
-        logits_fwd = jnp.take(flat, g.fwd_from_att, mode="fill",
-                              fill_value=0.0)
+        e_al = g.fwd_layout.n_chunks * g.fwd_layout.chunk_edges
+        logits_fwd = jnp.zeros((e_al,), flat.dtype).at[g.att_to_fwd].set(
+            flat, mode="drop")
         return segment_softmax_aligned(logits_fwd, g.fwd_layout)
 
     def attention_inner(g_stack, params, *ex_stack):
