@@ -207,7 +207,9 @@ def roofline(graph, meta):
     tflops = 2 * 8192 ** 3 / t_mm / 1e12
     del a8
 
-    # Measured: the full production SpMM (packed gather + fused-w kernel).
+    # Measured: the full production SpMM (packed gather + fused-w kernel),
+    # uncoalesced and coalesced (the production default — the floor model
+    # scales with the distinct-pair stream it actually moves).
     w = jax.random.uniform(jax.random.key(3), (graph.n_edges_pad,))
     ew = jax.jit(lambda w_: pb.prepare_weights(
         graph, w_, dtype=jnp.bfloat16, packs=(128 // d,)))(w)
@@ -216,17 +218,35 @@ def roofline(graph, meta):
         jax.jit(lambda x_, i: jnp.sum(pb.spmm(
             graph, ew, x_ + i * jnp.bfloat16(1e-30))) * 1e-20 + i),
         x16, iters=8)
+    from kgat_tpu.graph import build_coalesced
+    co = build_coalesced(graph)
+    e_alc = co.fwd.n_chunks * co.fwd.chunk_edges
+    ew_c = jax.jit(lambda w_: pb.prepare_weights(
+        graph, w_, dtype=jnp.bfloat16, packs=(128 // d,),
+        coalesce=True))(w)
+    jax.block_until_ready(ew_c)
+    t_spmm_c = median_time(
+        jax.jit(lambda x_, i: jnp.sum(pb.spmm(
+            graph, ew_c, x_ + i * jnp.bfloat16(1e-30))) * 1e-20 + i),
+        x16, iters=8)
 
     floor_s = bytes_stream / bw_gather + bytes_stream / bw_seq
+    bytes_coal = e_alc * d * 2
+    floor_c = bytes_coal / bw_gather + bytes_coal / bw_seq
     out = {
         "seq_read_gb_s": round(bw_seq / 1e9, 1),
         "gather_gb_s": round(bw_gather / 1e9, 1),
         "mxu_bf16_tflops": round(tflops, 1),
         "spmm_fwd_floor_ms": round(floor_s * 1e3, 2),
         "spmm_fwd_measured_ms": round(t_spmm * 1e3, 2),
+        "spmm_coal_floor_ms": round(floor_c * 1e3, 2),
+        "spmm_coal_measured_ms": round(t_spmm_c * 1e3, 2),
     }
     out["spmm_efficiency"] = round(
         out["spmm_fwd_floor_ms"] / max(out["spmm_fwd_measured_ms"], 1e-9), 3)
+    out["spmm_coal_efficiency"] = round(
+        out["spmm_coal_floor_ms"] / max(out["spmm_coal_measured_ms"],
+                                        1e-9), 3)
     return out
 
 
