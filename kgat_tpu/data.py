@@ -66,6 +66,7 @@ class Dataset:
         return len(self.kg_triples)
 
     def build(self, *, edge_block: int = 2048, rel_block: int = 1024,
+              chunk_edges: "int | None" = None,
               cache_dir: "str | None" = None) -> Tuple[Graph, CKGMeta]:
         """Construct the collaborative knowledge graph from train CF + KG.
 
@@ -84,7 +85,7 @@ class Dataset:
             h.update(np.ascontiguousarray(self.kg_triples).tobytes())
             h.update(repr((self.n_users, self.n_entities, self.n_items,
                            self.n_relations_kg, edge_block, rel_block,
-                           GRAPH_CACHE_VERSION)).encode())
+                           chunk_edges, GRAPH_CACHE_VERSION)).encode())
             path = os.path.join(cache_dir, f"ckg-{h.hexdigest()[:16]}.npz")
             if os.path.exists(path):
                 import zipfile
@@ -95,11 +96,14 @@ class Dataset:
                 except (ValueError, KeyError, OSError, EOFError,
                         zipfile.BadZipFile):
                     pass  # stale/corrupt cache: rebuild below
+        from kgat_tpu.graph import ALIGN_CHUNK_EDGES
         g, meta = build_ckg(
             self.cf_train, self.kg_triples,
             n_users=self.n_users, n_entities=self.n_entities,
             n_items=self.n_items, n_relations_kg=self.n_relations_kg,
             edge_block=edge_block, rel_block=rel_block,
+            chunk_edges=(ALIGN_CHUNK_EDGES if chunk_edges is None
+                         else chunk_edges),
         )
         if cache_dir is not None:
             os.makedirs(cache_dir, exist_ok=True)

@@ -763,6 +763,7 @@ def build_ckg(
     *,
     edge_block: int = 2048,
     rel_block: int = 1024,
+    chunk_edges: int = ALIGN_CHUNK_EDGES,
 ) -> Tuple[Graph, CKGMeta]:
     """Construct the collaborative knowledge graph (SURVEY.md §2.4).
 
@@ -809,5 +810,6 @@ def build_ckg(
         n_relations=meta.n_relations,
         edge_block=edge_block,
         rel_block=rel_block,
+        chunk_edges=chunk_edges,
     )
     return g, meta

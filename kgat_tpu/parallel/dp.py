@@ -17,6 +17,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -24,11 +25,40 @@ from kgat_tpu.graph import CKGMeta, Graph
 from kgat_tpu.models import kgat
 
 
+def _global_batch(sharding: NamedSharding, *arrays):
+    """Host batches -> global sharded arrays on a multi-process runtime.
+
+    On a real multi-host process group, jit rejects numpy (or process-
+    local jax.Array) inputs under non-replicated in_shardings. Every
+    process holds the identical full batch (deterministic sampling), so
+    each device's shard is sliced straight out of the host copy. No-op
+    single-process, and for arrays that are already global.
+    """
+    if jax.process_count() == 1:
+        return arrays
+
+    def to_global(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already a global array
+        h = np.asarray(x)
+        return jax.make_array_from_callback(
+            h.shape, sharding, lambda idx, h=h: h[idx])
+
+    return tuple(to_global(x) for x in arrays)
+
+
 def make_mesh(n_devices: int = 0, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     if n_devices <= 0:
         n_devices = len(devs)
-    return jax.make_mesh((n_devices,), (axis,), devices=devs[:n_devices])
+    # Auto axis types (jax.make_mesh defaults to Explicit since 0.9):
+    # the framework is written auto-style — shard_map + in_shardings —
+    # and Explicit-typed global arrays flip tracing into the
+    # sharding-in-types mode, which breaks un-annotated model code on a
+    # real multi-process group (tests/test_multihost_2proc.py).
+    return jax.make_mesh((n_devices,), (axis,),
+                         axis_types=(jax.sharding.AxisType.Auto,),
+                         devices=devs[:n_devices])
 
 
 def make_dp_cf_step(mesh: Mesh, graph: Graph, meta: CKGMeta,
@@ -52,11 +82,15 @@ def make_dp_cf_step(mesh: Mesh, graph: Graph, meta: CKGMeta,
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
-    def step(params, opt_state, att, u, ip, ineg, rng):
+    def _step(params, opt_state, att, u, ip, ineg, rng):
         loss, grads = jax.value_and_grad(loss_fn)(params, att, u, ip, ineg,
                                                   rng)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    def step(params, opt_state, att, u, ip, ineg, rng):
+        u, ip, ineg = _global_batch(batch_sh, u, ip, ineg)
+        return _step(params, opt_state, att, u, ip, ineg, rng)
 
     return step
 
@@ -73,11 +107,15 @@ def make_dp_kg_step(mesh: Mesh, cfg: kgat.KGATConfig,
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
-    def step(params, opt_state, h, r, tp, tn):
+    def _step(params, opt_state, h, r, tp, tn):
         loss, grads = jax.value_and_grad(
             lambda p: kgat.kg_loss(p, h, r, tp, tn, cfg))(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    def step(params, opt_state, h, r, tp, tn):
+        h, r, tp, tn = _global_batch(batch_sh, h, r, tp, tn)
+        return _step(params, opt_state, h, r, tp, tn)
 
     return step
 

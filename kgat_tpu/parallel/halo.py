@@ -411,7 +411,14 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
             batch_axes) / n_valid
         return loss + cfg.reg_cf * reg
 
-    def cf_loss_smapped(params, ew_stack, u, ip, ineg, w, rng):
+    # The stacked graph (and the exchange statics) are GLOBAL sharded
+    # arrays: on a multi-host mesh they span non-addressable devices, so
+    # every jitted program must receive them as ARGUMENTS — closing over
+    # them is a lowering error on a real process group (caught by
+    # tests/test_multihost_2proc.py). The public callables keep their
+    # signatures via thin wrappers that supply (pgraph, extra) at call
+    # time, outside any jit trace.
+    def cf_loss_smapped(params, g_stack, ex, ew_stack, u, ip, ineg, w, rng):
         PB = P(batch_axes)
         specs = (P(AXIS), P(AXIS), P(), PB, PB, PB, PB, P())
         if extra is not None:
@@ -420,20 +427,26 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                     g, e, p, uu, pp, nn, ww, rr, rb_stack=rb),
                 mesh=mesh, in_specs=specs + (P(AXIS),), out_specs=P(),
                 check_vma=False)
-            return smapped(pgraph, ew_stack, params, u, ip, ineg, w, rng,
-                           extra)
+            return smapped(g_stack, ew_stack, params, u, ip, ineg, w, rng,
+                           ex)
         smapped = jax.shard_map(
-            cf_loss_inner, mesh=mesh,
-            in_specs=specs, out_specs=P(), check_vma=False)
-        return smapped(pgraph, ew_stack, params, u, ip, ineg, w, rng)
+            lambda g, e, p, uu, pp, nn, ww, rr: cf_loss_inner(
+                g, e, p, uu, pp, nn, ww, rr),
+            mesh=mesh, in_specs=specs, out_specs=P(), check_vma=False)
+        return smapped(g_stack, ew_stack, params, u, ip, ineg, w, rng)
 
     def make_cf_step(opt: optax.GradientTransformation):
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, ew_stack, u, ip, ineg, w, rng):
+        def _step(params, opt_state, g_stack, ex, ew_stack, u, ip, ineg,
+                  w, rng):
             loss, grads = jax.value_and_grad(cf_loss_smapped)(
-                params, ew_stack, u, ip, ineg, w, rng)
+                params, g_stack, ex, ew_stack, u, ip, ineg, w, rng)
             updates, opt_state = opt.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
+
+        def step(params, opt_state, ew_stack, u, ip, ineg, w, rng):
+            return _step(params, opt_state, pgraph, extra, ew_stack,
+                         u, ip, ineg, w, rng)
 
         return step
 
@@ -449,13 +462,14 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         """
         from kgat_tpu.sampler import sample_cf_batch
 
-        def scan(params, opt_state, ew_stack, keys):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _scan(params, opt_state, g_stack, ex, ew_stack, keys):
             def step(carry, key):
                 params, opt_state = carry
                 k_s, k_d = jax.random.split(key)
                 u, ip, ineg, w = sample_cf_batch(cf_table, k_s, batch_size)
                 loss, grads = jax.value_and_grad(cf_loss_smapped)(
-                    params, ew_stack, u, ip, ineg, w, k_d)
+                    params, g_stack, ex, ew_stack, u, ip, ineg, w, k_d)
                 updates, opt_state = opt.update(grads, opt_state)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
@@ -464,20 +478,31 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
                 step, (params, opt_state), keys)
             return params, opt_state, jnp.sum(losses)
 
+        # Pre-jitted (donation inside): callers must NOT re-jit on a
+        # multi-host mesh — the wrapper passes the global stacked graph
+        # through the jit boundary as an argument.
+        def scan(params, opt_state, ew_stack, keys):
+            return _scan(params, opt_state, pgraph, extra, ew_stack, keys)
+
+        scan.pre_jitted = True
         return scan
 
-    def propagate_eval(ew_stack, params):
+    @jax.jit
+    def _propagate_eval(g_stack, ex, ew_stack, params):
         if extra is not None:
             smapped = jax.shard_map(
                 lambda g, e, p, rb: propagate_inner(g, e, p, None, False,
                                                     rb_stack=rb),
                 mesh=mesh, in_specs=(P(AXIS), P(AXIS), P(), P(AXIS)),
                 out_specs=P(), check_vma=False)
-            return smapped(pgraph, ew_stack, params, extra)
+            return smapped(g_stack, ew_stack, params, ex)
         smapped = jax.shard_map(
             lambda g, e, p: propagate_inner(g, e, p, None, False),
             mesh=mesh, in_specs=(P(AXIS), P(AXIS), P()), out_specs=P(),
             check_vma=False)
-        return smapped(pgraph, ew_stack, params)
+        return smapped(g_stack, ew_stack, params)
 
-    return attention, jax.jit(propagate_eval), make_cf_step, make_cf_scan
+    def propagate_eval(ew_stack, params):
+        return _propagate_eval(pgraph, extra, ew_stack, params)
+
+    return attention, propagate_eval, make_cf_step, make_cf_scan

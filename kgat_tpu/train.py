@@ -60,7 +60,13 @@ def _chunked_epoch(scan_fn, n_batches: int, chunk: int, with_att: bool):
 
     jitted = {}
     for size in set(sizes):
-        if with_att:
+        if getattr(scan_fn, "pre_jitted", False):
+            # Partitioned scans arrive jitted (donation inside): re-jitting
+            # would embed the global stacked graph as a constant, which a
+            # multi-host mesh rejects (halo.make_cf_scan passes it through
+            # the jit boundary as an argument instead).
+            jitted[size] = scan_fn
+        elif with_att:
             jitted[size] = jax.jit(
                 lambda p, o, a, k, f=scan_fn: f(p, o, a, k),
                 donate_argnums=(0, 1))
@@ -262,8 +268,9 @@ class Trainer:
             # the ep axis and replicate across dp rows (stack_shards
             # places per-device shards via make_array_from_callback).
             devs = jax.devices()[: self.n_devices]
-            self.mesh = jax.make_mesh((dp, n_ep), ("dp", AXIS),
-                                      devices=devs)
+            self.mesh = jax.make_mesh(
+                (dp, n_ep), ("dp", AXIS),
+                axis_types=(jax.sharding.AxisType.Auto,) * 2, devices=devs)
         else:
             self.mesh = make_mesh(self.n_devices, axis=AXIS)
         stack_mesh = self.mesh

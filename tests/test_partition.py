@@ -192,7 +192,7 @@ def test_partitioned_scan_matches_per_step(setup):
     B = 32
     keys = jax.random.split(jax.random.key(3), 2)
 
-    scan = jax.jit(make_cf_scan(opt, table, B))
+    scan = make_cf_scan(opt, table, B)  # pre-jitted (donation inside)
     p1, o1, s1 = scan(jax.tree.map(jnp.copy, params), opt.init(params),
                       ew, keys)
 
@@ -451,7 +451,7 @@ def test_2d_mesh_dp_ep_matches_single(setup):
     src = np.asarray(g.src)[: g.n_edges]
     dst = np.asarray(g.dst)[: g.n_edges]
     ety = np.asarray(g.etype)[: g.n_edges]
-    mesh2d = jax.make_mesh((2, 4), ("dp", AXIS))
+    mesh2d = jax.make_mesh((2, 4), ("dp", AXIS), axis_types=(jax.sharding.AxisType.Auto,) * 2)
     pg, info = partition_graph(src, dst, ety, meta.n_nodes,
                                meta.n_relations, 4)
 

@@ -170,7 +170,7 @@ def test_2d_mesh_ring_transports_match_single(setup, transport):
     must match the single-device result on both rows (VERDICT r2 item 8)."""
     ds, g, meta, coo, mesh, pg4, info4, cfg, params, att_ref, emb_ref = setup
     pltpu.reset_tpu_interpret_mode_state()
-    mesh2d = jax.make_mesh((2, 2), ("dp", AXIS))
+    mesh2d = jax.make_mesh((2, 2), ("dp", AXIS), axis_types=(jax.sharding.AxisType.Auto,) * 2)
     pg, info = partition_graph(coo["src"], coo["dst"], coo["etype"],
                                meta.n_nodes, meta.n_relations, 2,
                                chunk_edges=256, rel_block=256)

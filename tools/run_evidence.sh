@@ -27,4 +27,15 @@ python -m kgat_tpu.train --preset lastfm-bi --compute-dtype bf16 \
 python -m kgat_tpu.train --preset amazon-graphsage --compute-dtype bf16 \
   --epochs 15 --eval-every 5 --graph-cache runs/gcache --run-name amazon-graphsage-ev
 
+# 5. amazon cold start (the gap --use-pretrain closes; cf. amazon-c5).
+python -m kgat_tpu.train --dataset amazon-book --ops-backend pallas \
+  --compute-dtype bf16 --epochs 20 --eval-every 5 \
+  --graph-cache runs/gcache --run-name amazon-c6-cold
+
+# 6. the flagship pretrained campaign (BPR-MF pretrain -> KGAT, plateau).
+python -m kgat_tpu.models.bprmf --dataset amazon-book --out runs/amazon-mf.npz
+python -m kgat_tpu.train --dataset amazon-book --ops-backend pallas \
+  --compute-dtype bf16 --use-pretrain runs/amazon-mf.npz \
+  --epochs 60 --eval-every 5 --graph-cache runs/gcache --run-name amazon-c5
+
 echo EVIDENCE_QUEUE_DONE
