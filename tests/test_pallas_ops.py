@@ -242,3 +242,32 @@ def test_coalesced_attention_propagate_matches_ref(graph_meta):
         got = kgat.propagate(params, g, ew, cfg_pal)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_chunk512_layout_full_model_parity(rng):
+    """chunk_edges=512 layouts (the -5% padding option, bench.py
+    --chunk-edges) must produce the same attention + propagation as the
+    default 1024-chunk build through the pallas backend."""
+    ds = synthetic_dataset(seed=13, n_users=60, n_items=40, n_entities=90,
+                           n_relations_kg=4, n_interactions=700,
+                           n_triples=500)
+    g1024, meta = ds.build()
+    g512, meta2 = ds.build(chunk_edges=512)
+    assert g512.fwd_layout.chunk_edges == 512
+    assert meta2.n_nodes == meta.n_nodes
+
+    cfg = KGATConfig(ops_backend="pallas")
+    params = kgat.init_params(jax.random.key(0), meta.n_nodes,
+                              meta.n_relations, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        att_a = kgat.compute_attention(params, g1024, cfg)
+        emb_a = kgat.propagate(params, g1024, att_a, cfg)
+        att_b = kgat.compute_attention(params, g512, cfg)
+        emb_b = kgat.propagate(params, g512, att_b, cfg)
+    # attention is in per-graph canonical edge order; both builds sort
+    # identically (same dst-sorted COO), so compare directly
+    np.testing.assert_allclose(np.asarray(att_b)[: g512.n_edges],
+                               np.asarray(att_a)[: g1024.n_edges],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(emb_b), np.asarray(emb_a),
+                               rtol=1e-4, atol=1e-4)
