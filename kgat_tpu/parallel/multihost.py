@@ -35,6 +35,9 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec
 
 
+_initialized = False
+
+
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> int:
@@ -50,9 +53,16 @@ def initialize_distributed(coordinator: Optional[str] = None,
         return 0
     process_id = (process_id if process_id is not None
                   else int(os.environ.get("PROCESS_ID", 0)))
+    # Idempotence without touching the backend: jax.process_count() would
+    # itself initialize local-only devices, which is exactly the failure
+    # this function must precede. A module flag keeps re-entry safe.
+    global _initialized
+    if _initialized:
+        return jax.process_index()
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
+    _initialized = True
     return process_id
 
 

@@ -95,9 +95,18 @@ def _chunked_epoch(scan_fn, n_batches: int, chunk: int, with_att: bool):
 class Trainer:
     def __init__(self, cfg: TrainConfig, dataset: Optional[Dataset] = None):
         self.cfg = cfg
+        # Form the multi-host process group FIRST: jax.distributed must
+        # initialize before anything touches jax.devices() (the backend
+        # pins to local-only otherwise). No-op single-process.
+        from kgat_tpu.parallel.multihost import initialize_distributed
+        initialize_distributed()
         self.ds = dataset if dataset is not None else load_any_dataset(cfg)
         self.graph, self.meta = self.ds.build(cache_dir=cfg.graph_cache)
-        self.logger = RunLogger(cfg.log_dir, cfg.run_name, resume=cfg.resume)
+        # Only process 0 writes the event log (and prints): per-process
+        # appends to one JSONL would interleave garbage on a pod.
+        p0 = jax.process_index() == 0
+        self.logger = RunLogger(cfg.log_dir if p0 else None, cfg.run_name,
+                                resume=cfg.resume, quiet=not p0)
         n_dev = len(jax.devices()) if cfg.n_devices == 0 else cfg.n_devices
         self.n_devices = n_dev
         self.partitioned = n_dev > 1
@@ -255,8 +264,8 @@ class Trainer:
         g = graph
         coo = graph_mod.host_coo(g)
         src, dst, ety = coo["src"], coo["dst"], coo["etype"]
-        from kgat_tpu.parallel.multihost import initialize_distributed
-        initialize_distributed()  # no-op single-process; DCN group on pods
+        # (The DCN process group was formed at Trainer construction —
+        # before any device access; initialize_distributed is idempotent.)
         dp = max(1, cfg.dp_replicas)
         if self.n_devices % dp:
             raise ValueError(f"--dp-replicas {dp} must divide "
@@ -501,6 +510,10 @@ class Trainer:
 
 def main(argv=None):
     cfg = parse_args(argv)
+    # Multi-host: the process group must form before require_backend (or
+    # anything else) touches jax.devices(). Env-driven, no-op otherwise.
+    from kgat_tpu.parallel.multihost import initialize_distributed
+    initialize_distributed()
     from kgat_tpu.utils.device_guard import require_backend
     require_backend()  # a wedged relay must error, not hang forever
     trainer = Trainer(cfg)

@@ -88,3 +88,67 @@ def test_two_process_partitioned_training_matches_single():
     assert cf0 == pytest.approx(cf_s, abs=1e-5)
     assert kg0 == pytest.approx(kg_s, abs=1e-5)
     assert fp0 == pytest.approx(fp_s, rel=1e-5)
+
+
+def test_two_process_train_cli(tmp_path):
+    """The FULL train CLI on a real 2-process group: process-group
+    formation precedes any device access (main() calls
+    initialize_distributed first), only process 0 writes the event log,
+    checkpoints save as per-host shards, and training completes with a
+    done event. This is the coverage mp_worker cannot give: eval,
+    logging, early-stop bookkeeping, and checkpointing under
+    multi-process semantics."""
+    port = _free_port()
+    env_base = _env()
+    env_base.update({
+        "JAX_PLATFORM_NAME": "cpu", "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "COORDINATOR_ADDRESS": f"localhost:{port}",
+        "NUM_PROCESSES": "2",
+    })
+    args = [sys.executable, "-m", "kgat_tpu.train",
+            "--dataset", "synthetic", "--ops-backend", "ref",
+            "--epochs", "2", "--eval-every", "2",
+            "--log-dir", str(tmp_path), "--run-name", "cli2p"]
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env))
+    outs = [_communicate(p) for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"CLI worker failed:\n{o[-3000:]}"
+
+    log = tmp_path / "cli2p.jsonl"
+    assert log.exists()
+    events = [l.split('"event": "')[1].split('"')[0]
+              for l in log.read_text().splitlines()]
+    assert events.count("start") == 1  # only process 0 logs
+    assert events.count("done") == 1
+    assert "epoch" in events and "eval" in events
+    # per-host sharded checkpoint: both processes wrote their shards
+    shards = sorted(str(f.name) for f in tmp_path.glob("cli2p_best*shard*"))
+    assert any("shard0" in s for s in shards), shards
+    assert any("shard1" in s for s in shards), shards
+
+    # resume: the sharded checkpoint reassembles across the (new) process
+    # group and training continues from epoch 2
+    port2 = _free_port()
+    env_base["COORDINATOR_ADDRESS"] = f"localhost:{port2}"
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            args[:-4] + ["--epochs", "4", "--resume",
+                         "--log-dir", str(tmp_path), "--run-name", "cli2p"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env))
+    outs = [_communicate(p) for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"resume worker failed:\n{o[-3000:]}"
+    text = log.read_text()
+    assert '"event": "resume"' in text
+    events = [l.split('"event": "')[1].split('"')[0]
+              for l in text.splitlines()]
+    assert events.count("done") == 2

@@ -38,4 +38,9 @@ python -m kgat_tpu.train --dataset amazon-book --ops-backend pallas \
   --compute-dtype bf16 --use-pretrain runs/amazon-mf.npz \
   --epochs 60 --eval-every 5 --graph-cache runs/gcache --run-name amazon-c5
 
+# 7. lastfm retry (stage 3 wedged on the relay on 2026-08-19; the logger
+# appends to the same JSONL, summarize_run handles restarts).
+python -m kgat_tpu.train --preset lastfm-bi --compute-dtype bf16 \
+  --epochs 5 --eval-every 5 --graph-cache runs/gcache --run-name lastfm-bi-ev
+
 echo EVIDENCE_QUEUE_DONE
