@@ -75,6 +75,12 @@ class Dataset:
         runs on the same inputs skip the host build (the DGL-format-cache
         analog, SURVEY.md §2.2 graph-index row).
         """
+        from kgat_tpu.graph import ALIGN_CHUNK_EDGES
+        # Canonicalize before hashing: None means the default chunk size,
+        # so build(None) and build(ALIGN_CHUNK_EDGES) must share one cache
+        # entry (ADVICE r3).
+        chunk_edges = (ALIGN_CHUNK_EDGES if chunk_edges is None
+                       else chunk_edges)
         if cache_dir is not None:
             import hashlib
 
@@ -96,14 +102,12 @@ class Dataset:
                 except (ValueError, KeyError, OSError, EOFError,
                         zipfile.BadZipFile):
                     pass  # stale/corrupt cache: rebuild below
-        from kgat_tpu.graph import ALIGN_CHUNK_EDGES
         g, meta = build_ckg(
             self.cf_train, self.kg_triples,
             n_users=self.n_users, n_entities=self.n_entities,
             n_items=self.n_items, n_relations_kg=self.n_relations_kg,
             edge_block=edge_block, rel_block=rel_block,
-            chunk_edges=(ALIGN_CHUNK_EDGES if chunk_edges is None
-                         else chunk_edges),
+            chunk_edges=chunk_edges,
         )
         if cache_dir is not None:
             os.makedirs(cache_dir, exist_ok=True)

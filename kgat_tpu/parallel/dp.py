@@ -13,6 +13,7 @@ lives in kgat_tpu.parallel.partition / halo and composes with this DP axis.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Tuple
 
 import jax
@@ -33,18 +34,53 @@ def _global_batch(sharding: NamedSharding, *arrays):
     process holds the identical full batch (deterministic sampling), so
     each device's shard is sliced straight out of the host copy. No-op
     single-process, and for arrays that are already global.
+
+    CONTRACT: on a multi-process group the caller must pass either global
+    jax.Arrays or host batches that are IDENTICAL on every process (the
+    trainer seeds its host samplers identically); a divergent host batch
+    silently yields wrong gradients. Set KGAT_DP_CHECK_BATCH=1 to verify
+    the contract every step (a psum'd checksum — debug only, it costs a
+    collective + host sync). Keep multi-process batches as numpy: a
+    fully-addressable device array is pulled back to host here (ADVICE
+    r3), which works but wastes a device round trip per step.
     """
     if jax.process_count() == 1:
         return arrays
+
+    hosts = []
 
     def to_global(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             return x  # already a global array
         h = np.asarray(x)
+        hosts.append(h)
         return jax.make_array_from_callback(
             h.shape, sharding, lambda idx, h=h: h[idx])
 
-    return tuple(to_global(x) for x in arrays)
+    out = tuple(to_global(x) for x in arrays)
+    if hosts and os.environ.get("KGAT_DP_CHECK_BATCH") == "1":
+        _assert_identical_across_processes(sharding.mesh, hosts)
+    return out
+
+
+def _assert_identical_across_processes(mesh: Mesh, hosts) -> None:
+    """Debug check: every process sampled the same host batch (see
+    _global_batch contract). Checksums are psum'd over the mesh; if any
+    process diverged, per-device contributions differ and the total stops
+    being n_devices * local."""
+    local = np.float64(sum(float(np.asarray(h, np.float64).sum())
+                           + h.size * 1e-3 for h in hosts))
+    dev = jax.make_array_from_callback(
+        (len(mesh.devices.flat),),
+        NamedSharding(mesh, P(mesh.axis_names)),
+        lambda idx: np.full((1,), local, np.float64))
+    total = float(jnp.sum(dev))
+    expect = local * len(mesh.devices.flat)
+    if not np.isclose(total, expect, rtol=1e-12, atol=1e-6):
+        raise AssertionError(
+            "KGAT_DP_CHECK_BATCH: host batches diverged across processes "
+            f"(psum {total!r} != {expect!r}); the DP identical-batch "
+            "contract is violated — check sampler seeding.")
 
 
 def make_mesh(n_devices: int = 0, axis: str = "dp") -> Mesh:

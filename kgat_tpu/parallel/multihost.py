@@ -35,7 +35,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec
 
 
-_initialized = False
+_initialized: "Optional[tuple]" = None  # (coordinator, n_procs, proc_id)
 
 
 def initialize_distributed(coordinator: Optional[str] = None,
@@ -55,14 +55,22 @@ def initialize_distributed(coordinator: Optional[str] = None,
                   else int(os.environ.get("PROCESS_ID", 0)))
     # Idempotence without touching the backend: jax.process_count() would
     # itself initialize local-only devices, which is exactly the failure
-    # this function must precede. A module flag keeps re-entry safe.
+    # this function must precede. A module flag keeps re-entry safe — but
+    # a re-entrant call with a DIFFERENT group spec is a misconfiguration
+    # (e.g. a harness passing a new port after env-driven init already
+    # ran), not idempotence, so it raises (ADVICE r3).
     global _initialized
-    if _initialized:
+    spec = (coordinator, num_processes, process_id)
+    if _initialized is not None:
+        if _initialized != spec:
+            raise RuntimeError(
+                "initialize_distributed called twice with conflicting "
+                f"group specs: first {_initialized}, now {spec}")
         return jax.process_index()
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
-    _initialized = True
+    _initialized = spec
     return process_id
 
 
