@@ -40,15 +40,20 @@ PRESETS = {
 }
 
 
-def build(preset: str, seed: int = 0, chunk_edges: "int | None" = None):
+def build(preset: str, seed: int = 0, chunk_edges: "int | None" = None,
+          cache_dir: "str | None" = None):
     from kgat_tpu.data import synthetic_dataset
     from kgat_tpu.models import kgat
 
     u, i, e, r, inter, trip = PRESETS[preset]
+    t0 = time.perf_counter()
     ds = synthetic_dataset(seed=seed, n_users=u, n_items=i, n_entities=e,
                            n_relations_kg=r, n_interactions=inter,
                            n_triples=trip, test_frac=0.1)
-    graph, meta = ds.build(chunk_edges=chunk_edges)
+    t1 = time.perf_counter()
+    graph, meta = ds.build(chunk_edges=chunk_edges, cache_dir=cache_dir)
+    from kgat_tpu.graph import LAST_BUILD_STAGES
+    LAST_BUILD_STAGES["dataset_gen_s"] = round(t1 - t0, 3)
     return ds, graph, meta
 
 
@@ -487,6 +492,9 @@ def main(argv=None):
     p.add_argument("--no-coalesce", action="store_true",
                    help="disable multi-edge coalescing (A/B the ~22%% "
                         "duplicate-(dst,src) gather-row reduction)")
+    p.add_argument("--graph-cache", default="runs/gcache", metavar="DIR",
+                   help="graph npz cache dir (the DGL format-cache analog;"
+                        " '' disables). Warm runs skip the host build.")
     a = p.parse_args(argv)
 
     from kgat_tpu.utils.device_guard import require_backend
@@ -502,10 +510,14 @@ def main(argv=None):
     print(f"# bench on {dev.platform}:{dev.device_kind} preset={a.preset} "
           f"backend={a.backend}", file=sys.stderr)
     t0 = time.time()
-    ds, graph, meta = build(a.preset, chunk_edges=a.chunk_edges)
+    ds, graph, meta = build(a.preset, chunk_edges=a.chunk_edges,
+                            cache_dir=a.graph_cache or None)
+    from kgat_tpu.graph import LAST_BUILD_STAGES
+    stages = (f" stages={json.dumps(LAST_BUILD_STAGES)}"
+              if LAST_BUILD_STAGES else " (warm cache)")
     print(f"# built graph: {meta.n_nodes} nodes {graph.n_edges} edges "
-          f"{meta.n_relations} relations in {time.time()-t0:.1f}s",
-          file=sys.stderr)
+          f"{meta.n_relations} relations in {time.time()-t0:.1f}s"
+          f"{stages}", file=sys.stderr)
 
     res = bench_backend(graph, meta, a.backend, a.batch, a.iters,
                         compute_dtype=a.compute_dtype,

@@ -110,6 +110,11 @@ class Dataset:
             chunk_edges=chunk_edges,
         )
         if cache_dir is not None:
+            # Pre-build the coalesced layouts so the cache carries them —
+            # the production SpMM reduces over them every run, and without
+            # this the host rebuilt them from scratch on every start.
+            from kgat_tpu.graph import build_coalesced
+            build_coalesced(g)
             os.makedirs(cache_dir, exist_ok=True)
             save_graph(path, g, meta)
         return g, meta

@@ -36,11 +36,17 @@ interactions become two extra relations (interact / interacted-by).
 from __future__ import annotations
 
 import dataclasses
+import time as _time
 from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Stage seconds of the most recent host graph build (build_graph /
+# build_coalesced / save+load), for the bench's build-breakdown line —
+# the r3 "graph build took 126.5 s, unexplained" diagnostic.
+LAST_BUILD_STAGES: dict = {}
 
 try:  # native (C++) fast path for host-side sorting; numpy fallback below
     from kgat_tpu import native as _native
@@ -450,27 +456,33 @@ def build_coalesced_layouts(g: "Graph", cap: int = 8, *,
 
     def _pick(clay):
         cg = host_array(clay, "gather")
-        return jnp.asarray(
-            pr["pick_tab"][np.minimum(cg, n_pairs)].astype(np.int32))
+        return pr["pick_tab"][np.minimum(cg, n_pairs)].astype(np.int32)
 
-    return CoalescedLayouts(
+    pf, pv = _pick(fwd_c), _pick(rev_c)
+    co = CoalescedLayouts(
         fwd=fwd_c, rev=rev_c,
         within=jnp.asarray(pr["within"]),
-        pick_fwd=_pick(fwd_c), pick_rev=_pick(rev_c),
+        pick_fwd=jnp.asarray(pf), pick_rev=jnp.asarray(pv),
         cap=int(cap), n_pairs=n_pairs)
+    object.__setattr__(co, "_host", {
+        "within": pr["within"], "pick_fwd": pf, "pick_rev": pv})
+    return co
 
 
 def build_coalesced(g: "Graph", cap: int = 8) -> CoalescedLayouts:
     """Build (and cache on `g`) the coalesced layouts. Host-side; reuses
-    the aligned-layout builder over the distinct-pair edge list."""
+    the aligned-layout builder over the distinct-pair edge list. Loaded
+    from the graph npz cache when present (save_graph folds them in)."""
     cached = getattr(g, "_coal", None)
     if cached is not None and cached.cap == cap:
         return cached
+    t0 = _time.perf_counter()
     # First use is often during a jit trace (staging closes over the
     # graph); the cached device arrays must be CONCRETE, not trace-scoped
     # constants, or they leak as tracers into later traces.
     with jax.ensure_compile_time_eval():
         co = build_coalesced_layouts(g, cap)
+    LAST_BUILD_STAGES["coalesce_s"] = round(_time.perf_counter() - t0, 3)
     object.__setattr__(g, "_coal", co)
     return co
 
@@ -512,9 +524,19 @@ def build_graph(
     if not (etype < n_relations).all():
         raise ValueError("etype out of range")
 
+    LAST_BUILD_STAGES.clear()
+    _t = _time.perf_counter()
+
+    def _stage(name):
+        nonlocal _t
+        now = _time.perf_counter()
+        LAST_BUILD_STAGES[name] = round(now - _t, 3)
+        _t = now
+
     # Canonical order: stable sort by dst.
     order = _stable_sort_perm(dst, n_nodes)
     src, dst, etype = src[order], dst[order], etype[order]
+    _stage("sort_s")
 
     # Pad edges to a block multiple, leaving >= edge_block slack slots: the
     # Pallas segment kernels stream edges in fixed-size chunks and their
@@ -543,9 +565,11 @@ def build_graph(
     fwd_layout = _build_aligned_layout(
         dst, src, n_nodes, dead, order=np.arange(n_edges, dtype=np.int64),
         force_chunks=force_fwd_chunks, chunk_edges=chunk_edges)
+    _stage("fwd_layout_s")
     rev_layout = _build_aligned_layout(src, dst, n_nodes, dead,
                                        force_chunks=force_rev_chunks,
                                        chunk_edges=chunk_edges)
+    _stage("rev_layout_s")
 
     # Relation-blocked attention layout: stable argsort by etype over the
     # canonical order, then pad each relation block to rel_block with the
@@ -578,10 +602,12 @@ def build_graph(
     att_gather = (
         np.concatenate(gather_parts) if gather_parts else np.zeros(0, np.int32)
     )
+    _stage("att_blocks_s")
 
     att_to_fwd, fwd_from_att, rev_from_fwd, canon_to_fwd = cross_layout_perms(
         att_gather, host_array(fwd_layout, "gather"),
         host_array(rev_layout, "gather"), n_edges, n_pad)
+    _stage("cross_perms_s")
 
     g = Graph(
         src=jnp.asarray(src_p),
@@ -610,6 +636,7 @@ def build_graph(
         "rev_from_fwd": rev_from_fwd.astype(np.int32),
         "canon_to_fwd": canon_to_fwd.astype(np.int32),
     })
+    _stage("finalize_s")
     return g
 
 
@@ -678,9 +705,23 @@ def save_graph(path: str, g: Graph, meta: "CKGMeta | None" = None) -> str:
         "canon_to_fwd": host_array(g, "canon_to_fwd"),
         **_layout_host_arrays(g.fwd_layout, "fwd"),
         **_layout_host_arrays(g.rev_layout, "rev"),
-        "statics_json": np.frombuffer(
-            json.dumps(statics).encode(), dtype=np.uint8),
     }
+    # Fold the coalesced layouts in when built (the production SpMM path
+    # uses them every run; r3 rebuilt them on the host every start).
+    co = getattr(g, "_coal", None)
+    if co is not None:
+        statics["co_cap"] = co.cap
+        statics["co_n_pairs"] = co.n_pairs
+        for prefix, layout in (("cofwd", co.fwd), ("corev", co.rev)):
+            statics[f"{prefix}_n_chunks"] = layout.n_chunks
+            statics[f"{prefix}_n_blocks"] = layout.n_blocks
+            statics[f"{prefix}_chunk_edges"] = layout.chunk_edges
+            arrays.update(_layout_host_arrays(layout, prefix))
+        arrays["co_within"] = host_array(co, "within")
+        arrays["co_pick_fwd"] = host_array(co, "pick_fwd")
+        arrays["co_pick_rev"] = host_array(co, "pick_rev")
+    arrays["statics_json"] = np.frombuffer(
+        json.dumps(statics).encode(), dtype=np.uint8)
     import os
     # Unique tmp per writer: concurrent processes saving the same cache
     # entry must not interleave into one torn file before os.replace.
@@ -728,6 +769,19 @@ def load_graph(path: str) -> "Tuple[Graph, CKGMeta | None]":
         rel_blocks=tuple(tuple(b) for b in statics["rel_blocks"]),
     )
     object.__setattr__(g, "_host", host)
+    if "co_cap" in statics:
+        co_host = {k: np.asarray(z[f"co_{k}"])
+                   for k in ("within", "pick_fwd", "pick_rev")}
+        co = CoalescedLayouts(
+            fwd=_layout_from_arrays(z, "cofwd", statics),
+            rev=_layout_from_arrays(z, "corev", statics),
+            within=jnp.asarray(co_host["within"]),
+            pick_fwd=jnp.asarray(co_host["pick_fwd"]),
+            pick_rev=jnp.asarray(co_host["pick_rev"]),
+            cap=int(statics["co_cap"]),
+            n_pairs=int(statics["co_n_pairs"]))
+        object.__setattr__(co, "_host", co_host)
+        object.__setattr__(g, "_coal", co)
     meta = CKGMeta(**statics["meta"]) if "meta" in statics else None
     return g, meta
 

@@ -73,11 +73,16 @@ def _make_pspmm(backend: str):
 
     def bwd(res, g):
         w_fwd, w_rev, w_rev_t, x, fwd_layout, rev_layout = res
-        d_w_fwd = jnp.sum(x[fwd_layout.node] * g[fwd_layout.seg], axis=-1)
+        d_w_fwd = jnp.sum(x[fwd_layout.node] * g[fwd_layout.seg],
+                          axis=-1).astype(w_fwd.dtype)
         n_in = rev_layout.n_blocks * ALIGN_BLOCK_ROWS
-        d_x = reduce_(rev_layout, w_rev, g, n_in,
+        # Mirror the single-device dual (pallas_backend._spmm_bwd): the
+        # cotangent stream reduces at the PRIMAL dtype — under bf16
+        # compute this halves the backward HBM pass (the r3 partitioned
+        # path reduced f32 cotangents and paid ~2x on every layer).
+        d_x = reduce_(rev_layout, w_rev, g.astype(x.dtype), n_in,
                       w_t=_wt(w_rev_t, g.shape[-1]))
-        return (d_w_fwd, None, None, None, d_x, None, None)
+        return (d_w_fwd, None, None, None, d_x.astype(x.dtype), None, None)
 
     pspmm.defvjp(fwd, bwd)
     return pspmm
@@ -114,7 +119,8 @@ def _make_pspmm_send(backend: str, n_devices: int, interpret,
         d_w = jnp.sum(chunk[fwd_layout.node] * g_side[fwd_layout.seg],
                       axis=-1).astype(w_fwd.dtype)
         n_in = rev_layout.n_blocks * ALIGN_BLOCK_ROWS
-        d_chunk = (reduce_(rev_layout, w_rev, g_side, n_in)
+        d_chunk = (reduce_(rev_layout, w_rev, g_side.astype(chunk.dtype),
+                           n_in)
                    .astype(chunk.dtype) + left_shift(g_next))
         return (d_w, None, d_chunk, None, None)
 
@@ -328,6 +334,12 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         ew = _local(ew_stack)
         ex = _local(rb_stack) if extra is not None else None
         p_idx = jax.lax.axis_index(AXIS)
+        # SpMM value-stream dtype: cast ONLY the reduce input, exactly as
+        # the single-device path does (kgat.propagate `x_in`) — bf16
+        # halves the gather+reduce HBM bytes (and, on the ring, the ICI
+        # chunk bytes); aggregator/normalization math stays f32.
+        low = cfg.compute_dtype if cfg.ops_backend == "pallas" else None
+        cast = (lambda v: v) if low is None else (lambda v: v.astype(low))
         ego_g = params["entity_embed"]
         x = jnp.pad(ego_g, ((0, n_pad - N), (0, 0)))
         if a2a:
@@ -343,14 +355,14 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
         n_layers = len(params["layers"])
         for li, layer in enumerate(params["layers"]):
             if ring:
-                side = _ring_side(ex, ew, ego)
+                side = _ring_side(ex, ew, cast(ego))
             elif a2a:
-                side = pspmm(ew.fwd, ew.rev, None, None, local_x,
+                side = pspmm(ew.fwd, ew.rev, None, None, cast(local_x),
                              ex.fwd, ex.rev)
             else:
                 lay_f, lay_r = ((ex.fwd, ex.rev) if coalesced is not None
                                 else (g.fwd_layout, g.rev_layout))
-                side = pspmm(ew.fwd, ew.rev, ew.fwd_t, ew.rev_t, x,
+                side = pspmm(ew.fwd, ew.rev, ew.fwd_t, ew.rev_t, cast(x),
                              lay_f, lay_r)
                 ego = jax.lax.dynamic_slice(x, (p_idx * R, 0),
                                             (R, x.shape[1]))
