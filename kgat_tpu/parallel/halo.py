@@ -212,6 +212,34 @@ def make_partitioned(mesh: Mesh, pgraph: Graph, info: PartitionInfo,
     if ring_transport not in ("ppermute", "dma", "fused"):
         raise ValueError(f"unknown ring_transport {ring_transport!r}")
     batch_axes = AXIS if dp_axis is None else (dp_axis, AXIS)
+    if cfg.ops_backend == "pallas" and jax.default_backend() != "tpu":
+        # Two interpret-machinery limits measured on CPU CI (r4), both
+        # deadlocks without this guard (minimal repros in
+        # tests/test_multihost_2proc.py and tests/pallas_8way_worker.py):
+        # (1) kernels inside shard_map hang when the mesh occupies every
+        #     virtual device — the machinery's callbacks need one free
+        #     device thread (8-way runs fine on 9 devices);
+        # (2) kernels inside shard_map hang whenever the mesh spans more
+        #     than one OS process, kernels-only, spares or not — the
+        #     machinery's emulation state is process-local. Collectives
+        #     without kernels cross processes fine (ref backend), and on
+        #     real TPUs kernels are Mosaic-compiled, so this limit exists
+        #     only under CPU emulation.
+        if mesh.devices.size >= len(jax.devices()):
+            raise RuntimeError(
+                "pallas backend under CPU emulation needs at least one "
+                f"virtual device OUTSIDE the mesh (mesh uses "
+                f"{mesh.devices.size} of {len(jax.devices())}); raise "
+                "xla_force_host_platform_device_count by one")
+        n_procs = len({d.process_index for d in mesh.devices.flat})
+        if n_procs > 1:
+            raise RuntimeError(
+                "pallas backend under CPU emulation cannot run on a mesh "
+                f"spanning {n_procs} processes: the TPU interpret "
+                "machinery is process-local and kernel programs deadlock "
+                "across real process boundaries (r4 minimal repro). Use "
+                "ops_backend='ref' for multi-process CPU tests; Mosaic "
+                "kernels on real TPUs are unaffected.")
     # interpret=None: kernels auto-resolve (Mosaic on TPU, the TPU
     # interpret machinery on CPU meshes — ops/pallas/runtime.py).
     _interp = None

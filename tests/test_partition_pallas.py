@@ -6,11 +6,13 @@ for the DMA transports).
 Sizing notes (CPU emulation limits, measured on this 4-CPU host):
 * per-grid-step blocks >= (128, 128) deadlock the machinery under
   shard_map -> d=16 features + chunk_edges=256 keep vals blocks at 32x128;
-* 8 emulated devices starve the machinery's callback threads once a
-  kernel's grid exceeds ~6 steps; a 4-device mesh runs grids of 32+ ->
-  these tests use a 4-device mesh (the 8-way decomposition itself is
-  covered by the ref-backend tests in test_partition.py, which share the
-  partitioning code path bit-exactly).
+* the machinery deadlocks when the mesh occupies EVERY virtual device
+  (its callbacks need one free device thread — r4 measurement superseding
+  r3's 'grid > ~6 steps starves 8 devices' note, which was wrong): this
+  process has 8 conftest devices, so these tests use a 4-device mesh.
+  The 8-way decomposition runs in test_partition_pallas_8way.py's
+  subprocess (9 devices, one spare), and parallel/halo.py fails fast on
+  the all-devices configuration.
 """
 
 import dataclasses
