@@ -96,7 +96,8 @@ def median_time(fn, *args, iters=10, warmup=1):
 
 
 def bench_backend(graph, meta, backend: str, batch: int, iters: int,
-                  compute_dtype: str = "bf16", coalesce: bool = True):
+                  compute_dtype: str = "bf16", coalesce: bool = True,
+                  coalesce_cap: int = 8):
     import dataclasses
 
     from kgat_tpu.models import kgat
@@ -104,7 +105,8 @@ def bench_backend(graph, meta, backend: str, batch: int, iters: int,
     cd = jnp.bfloat16 if (backend == "pallas"
                           and compute_dtype == "bf16") else None
     cfg = kgat.KGATConfig(ops_backend=backend, compute_dtype=cd,
-                          coalesce=coalesce and backend == "pallas")
+                          coalesce=coalesce and backend == "pallas",
+                          coalesce_cap=coalesce_cap)
     params = kgat.init_params(jax.random.key(0), meta.n_nodes,
                               meta.n_relations, cfg)
     E, L = graph.n_edges, len(cfg.conv_dims)
@@ -492,6 +494,10 @@ def main(argv=None):
     p.add_argument("--no-coalesce", action="store_true",
                    help="disable multi-edge coalescing (A/B the ~22%% "
                         "duplicate-(dst,src) gather-row reduction)")
+    p.add_argument("--coalesce-cap", type=int, default=8,
+                   help="max members per coalesced group (A/B 8 vs 32: "
+                        "32 recovers ~1.7%% more rows for +24 shifted "
+                        "adds once per epoch)")
     p.add_argument("--graph-cache", default="runs/gcache", metavar="DIR",
                    help="graph npz cache dir (the DGL format-cache analog;"
                         " '' disables). Warm runs skip the host build.")
@@ -521,7 +527,8 @@ def main(argv=None):
 
     res = bench_backend(graph, meta, a.backend, a.batch, a.iters,
                         compute_dtype=a.compute_dtype,
-                        coalesce=not a.no_coalesce)
+                        coalesce=not a.no_coalesce,
+                        coalesce_cap=a.coalesce_cap)
     # Without --compare, report against the CACHED XLA ref-path
     # measurement for this (preset, n_edges, device) — written by the last
     # --compare run (bench_refcache.json, committed) so the ratio never

@@ -66,6 +66,11 @@ class KGATConfig:
     # one extra static take per epoch in staging. See
     # pallas_backend.coalesce_weights / graph.build_coalesced.
     coalesce: bool = True
+    # Max members per coalesced group (longer multi-edge runs split).
+    # 8 covers all but 27.8k of yelp's 3.62M distinct pairs; 32 would
+    # recover ~1.7% more rows for +24 shifted adds once per epoch
+    # (ROADMAP r4 measurement).
+    coalesce_cap: int = 8
 
     @property
     def out_dim(self) -> int:
@@ -188,7 +193,8 @@ def prepare_attention(graph: Graph, att: jax.Array, cfg: KGATConfig):
         return pallas_backend.prepare_weights(
             graph, att, dtype=cfg.compute_dtype,
             packs=pallas_backend.packs_for(cfg),
-            coalesce=getattr(cfg, "coalesce", False))
+            coalesce=getattr(cfg, "coalesce", False),
+            cap=getattr(cfg, "coalesce_cap", 8))
     return att
 
 

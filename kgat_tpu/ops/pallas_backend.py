@@ -93,6 +93,9 @@ class EdgeWeights:
     # scale. Static so the jitted program specializes on it.
     coalesced: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # Group cap the coalesced layouts were built with — spmm must fetch
+    # the SAME layouts (E_alc depends on it).
+    cap: int = dataclasses.field(default=8, metadata=dict(static=True))
 
 
 DEFAULT_PACKS = (2, 4, 8)
@@ -123,7 +126,7 @@ def _deinterleave_w(w_aligned: jax.Array, packs=DEFAULT_PACKS,
 
 def prepare_weights(graph: Graph, edge_w: jax.Array,
                     dtype=None, packs=DEFAULT_PACKS,
-                    coalesce: bool = False) -> EdgeWeights:
+                    coalesce: bool = False, cap: int = 8) -> EdgeWeights:
     """Stage canonical edge weights into both aligned layouts.
 
     dtype: optional weight dtype (bf16 halves the per-step weight stream
@@ -137,7 +140,7 @@ def prepare_weights(graph: Graph, edge_w: jax.Array,
     wm = edge_w * graph.edge_mask
     if coalesce:
         return coalesce_weights(graph, wm[graph.fwd_layout.gather],
-                                dtype=dtype, packs=packs)
+                                dtype=dtype, packs=packs, cap=cap)
     if dtype is not None:
         wm = wm.astype(dtype)
     fwd = wm[graph.fwd_layout.gather]
@@ -149,7 +152,8 @@ def prepare_weights(graph: Graph, edge_w: jax.Array,
 
 
 def coalesce_weights(graph: Graph, w_fwd_aligned: jax.Array,
-                     dtype=None, packs=DEFAULT_PACKS) -> EdgeWeights:
+                     dtype=None, packs=DEFAULT_PACKS,
+                     cap: int = 8) -> EdgeWeights:
     """Stage fwd-aligned edge weights into the multi-edge-COALESCED
     layouts (graph.build_coalesced): members of a multi-edge collapse to
     one SpMM position with their weights summed.
@@ -167,7 +171,7 @@ def coalesce_weights(graph: Graph, w_fwd_aligned: jax.Array,
     stages attention under stop_gradient anyway (SURVEY.md §3.1).
     """
     from kgat_tpu.graph import build_coalesced
-    return coalesce_weights_from(build_coalesced(graph), w_fwd_aligned,
+    return coalesce_weights_from(build_coalesced(graph, cap), w_fwd_aligned,
                                  dtype=dtype, packs=packs)
 
 
@@ -193,7 +197,7 @@ def coalesce_weights_from(co, w_fwd_aligned: jax.Array,
         fwd=wf, rev=wr,
         fwd_t=_deinterleave_w(wf, packs, co.fwd.chunk_edges),
         rev_t=_deinterleave_w(wr, packs, co.rev.chunk_edges),
-        coalesced=True)
+        coalesced=True, cap=int(co.cap))
 
 
 def _layout_reduce(layout, w_aligned, x, n_nodes,
@@ -268,7 +272,7 @@ def spmm(graph: Graph, edge_w, x: jax.Array) -> jax.Array:
         else prepare_weights(graph, edge_w)
     if ew.coalesced:
         from kgat_tpu.graph import build_coalesced
-        co = build_coalesced(graph)
+        co = build_coalesced(graph, ew.cap)
         lay_f, lay_r = co.fwd, co.rev
     else:
         lay_f, lay_r = graph.fwd_layout, graph.rev_layout
@@ -446,7 +450,8 @@ def attention_prepared(params, graph: Graph, cfg) -> EdgeWeights:
     if getattr(cfg, "coalesce", False):
         return coalesce_weights(graph, w_fwd,
                                 dtype=getattr(cfg, "compute_dtype", None),
-                                packs=packs)
+                                packs=packs,
+                                cap=getattr(cfg, "coalesce_cap", 8))
     if getattr(cfg, "compute_dtype", None) is not None:
         w_fwd = w_fwd.astype(cfg.compute_dtype)
     w_rev = jnp.take(w_fwd, graph.rev_from_fwd, mode="fill", fill_value=0.0)

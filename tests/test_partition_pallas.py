@@ -211,6 +211,67 @@ def test_2d_mesh_ring_transports_match_single(setup, transport):
     assert np.isfinite(np.asarray(p_p["entity_embed"])).all()
 
 
+def test_partitioned_bf16_streams_match_f32(setup):
+    """compute_dtype=bf16 partitioned execution (the production config):
+    the SpMM value AND cotangent streams run bf16 (halo pspmm casts — r4
+    change mirroring pallas_backend._spmm_bwd) while aggregator math and
+    accumulation stay f32. Propagation must track the f32 partitioned
+    result to bf16-rounding tolerance, and a grad-bearing CF step (whose
+    backward reduces a bf16-cast cotangent) must match the single-device
+    bf16 pallas step."""
+    ds, g, meta, coo, mesh, pg, info, cfg, params, att_ref, emb_ref = setup
+    pltpu.reset_tpu_interpret_mode_state()
+    cfg16 = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+
+    attention, propagate_eval, make_cf_step, _ = make_partitioned(
+        mesh, pg, info, meta, cfg16)
+    _, ew = attention(pg, params)
+    assert ew.fwd.dtype == jnp.bfloat16
+    emb16 = propagate_eval(ew, params)
+    # bf16 value streams: ~1e-2 relative activation noise vs f32.
+    np.testing.assert_allclose(np.asarray(emb16), np.asarray(emb_ref),
+                               rtol=3e-2, atol=3e-2)
+
+    opt = optax.adam(1e-3)
+    B = 16
+    u = jnp.arange(B, dtype=jnp.int32) % meta.n_users
+    ip = jnp.arange(B, dtype=jnp.int32) % meta.n_items
+    ineg = (jnp.arange(B, dtype=jnp.int32) + 3) % meta.n_items
+    w = jnp.ones(B)
+    rng = jax.random.key(9)
+    step = make_cf_step(opt)
+    p_p, _, loss_p = step(jax.tree.map(jnp.copy, params),
+                          opt.init(params), ew, u, ip, ineg, w, rng)
+    assert np.isfinite(float(loss_p))
+    assert np.isfinite(np.asarray(p_p["entity_embed"])).all()
+
+    # Parity vs the single-device bf16 pallas path. Post-Adam params are
+    # not compared elementwise: Adam divides by sqrt(v), so bf16
+    # sum-order noise on near-zero grads flips signs and moves single
+    # entries by up to ~2*lr. Compare the loss and the DIRECTION of the
+    # embedding-table update (cosine similarity of the deltas) instead.
+    ew_s = jax.jit(
+        lambda p: kgat.attention_for_training(p, g, cfg16))(params)
+
+    @jax.jit
+    def single(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: kgat.cf_loss(p, g, ew_s, meta, u, ip, ineg, cfg16,
+                                   rng=rng, train=True, weight=w))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), loss
+
+    p_s, loss_s = single(jax.tree.map(jnp.copy, params), opt.init(params))
+    np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=3e-2)
+    e0 = np.asarray(params["entity_embed"], np.float32)
+    d_p = (np.asarray(p_p["entity_embed"], np.float32) - e0).ravel()
+    d_s = (np.asarray(p_s["entity_embed"], np.float32) - e0).ravel()
+    cos = float(d_p @ d_s / (np.linalg.norm(d_p) * np.linalg.norm(d_s)))
+    assert cos > 0.97, f"update direction diverged: cos={cos}"
+    np.testing.assert_allclose(np.linalg.norm(d_p), np.linalg.norm(d_s),
+                               rtol=0.1)
+
+
 def test_partitioned_coalesced_matches_ref(setup):
     """Partitioned multi-edge coalescing (allgather exchange): stacked
     distinct-pair layouts + shard-local weight-sum staging reproduce the
