@@ -90,3 +90,33 @@ def test_cf_negative_uniformity(tiny_dataset):
     expected = m.sum() / len(complement)
     # loose chi-square-ish bound at this sample size
     assert counts.max() < expected * 3.0 and counts.min() > expected * 0.2
+
+
+def test_rank_skip_exhaustive():
+    """Order-statistics core of the direct negative draw: for every
+    forbidden-set/rank combination over a small universe, k + rank_skip
+    must be the k-th non-member — including the p* == g convergence edge
+    (rank beyond every forbidden value) that an unguarded binary search
+    walks past."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from kgat_tpu.sampler import _log_steps, rank_skip
+
+    import jax
+    import numpy as np
+
+    n_universe = 12
+    for size in range(0, 5):
+        fn = jax.jit(lambda sv, g, ks, s=max(1, _log_steps(size)):
+                     rank_skip(sv, jnp.int32(0), g, ks, s))
+        for forb in itertools.combinations(range(n_universe), size):
+            allowed = [v for v in range(n_universe) if v not in forb]
+            # a trailing second segment exercises the next-segment probe
+            # guard; the sentinel keeps the array non-empty for size 0
+            sorted_v = jnp.asarray(list(forb) + [0], jnp.int32)
+            ks = jnp.arange(len(allowed), dtype=jnp.int32)
+            p = np.asarray(fn(sorted_v, jnp.int32(size), ks))
+            np.testing.assert_array_equal(np.arange(len(allowed)) + p,
+                                          np.asarray(allowed), err_msg=str(forb))
