@@ -459,8 +459,11 @@ def bench_serving(graph, meta, backend: str, iters: int, block: int = 2048,
     user_nodes = jnp.asarray(
         meta.user_node(np.arange(block) % meta.n_users), jnp.int32)
     mask = jnp.asarray(np.full((8, 2), [block, 0], np.int32))  # dead pairs
+    # i must enter the DATA (not just the output sum): the relay serves
+    # cached results for repeated same-input programs (measured a "0 ms"
+    # score pass without this).
     score_timed = jax.jit(lambda emb, un, i: jnp.sum(
-        _score_block(emb, un, mask, int(meta.n_items), k)[1]
+        _score_block(emb + i * 1e-30, un, mask, int(meta.n_items), k)[1]
         .astype(jnp.float32)) * 1e-20 + i)
     t_score = median_time(score_timed, all_embed, user_nodes, iters=iters)
     return {
