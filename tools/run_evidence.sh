@@ -1,5 +1,8 @@
 #!/bin/bash
 # Serial evidence-campaign queue (single TPU chip) — see tools/campaigns.md.
+#
+# SUPERSEDED by run_evidence_r4.sh (hardened per-stage timeout/retry +
+# auto-commit); kept for the r3 recipe record.
 # Each stage appends runs/<name>.jsonl; commit the JSONLs as they land.
 set -x
 cd /root/repo
