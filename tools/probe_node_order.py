@@ -80,6 +80,9 @@ def main():
     nt_u = stream_rows(graph.fwd_layout)  # uncoalesced reference stream
 
     flat = nt_c.reshape(-1)
+    # NB: dead (padded) aligned positions carry node id 0, so node 0's
+    # count includes every pad gather — intentional: the pad row IS
+    # gathered by the hot loop, so it belongs in the hot set.
     freq = np.bincount(flat, minlength=n)
 
     # hot-first: relabel by descending gather frequency (stable).
@@ -87,18 +90,15 @@ def main():
     hot_inv = np.empty(n, np.int64)
     hot_inv[hot_perm] = np.arange(n)                     # old_id -> new_id
 
-    # first-touch: relabel in order of first appearance in the stream.
+    # first-touch: relabel in order of first appearance in the stream
+    # (vectorized: unique ids sorted by their first-occurrence index).
+    uniq_ids, first_idx = np.unique(flat, return_index=True)
+    order = uniq_ids[np.argsort(first_idx)]               # touch order
     seen = np.zeros(n, bool)
+    seen[order] = True
     ft_inv = np.zeros(n, np.int64)
-    order = []
-    for v in flat:
-        if not seen[v]:
-            seen[v] = True
-            order.append(v)
-    order = np.asarray(order, np.int64)
     ft_inv[order] = np.arange(len(order))
-    ft_inv[~seen] = np.arange(len(order), n)[: int((~seen).sum())] \
-        if (~seen).any() else ft_inv[~seen]
+    ft_inv[~seen] = np.arange(len(order), n)
 
     # random: control — if rate is order-insensitive all rows match.
     rnd_inv = np.random.default_rng(1).permutation(n)
