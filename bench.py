@@ -82,8 +82,9 @@ def _roundtrip_baseline():
     return _BASELINE
 
 
-def median_time(fn, *args, iters=10, warmup=1):
-    """fn(*args, i) -> scalar; returns median true seconds per call."""
+def timed_samples(fn, *args, iters=10, warmup=1):
+    """fn(*args, i) -> scalar; returns np.array of per-call net seconds
+    (roundtrip baseline subtracted, floored at 1 ns)."""
     base = _roundtrip_baseline()
     for w in range(warmup):
         float(fn(*args, 1000 + w))
@@ -92,7 +93,13 @@ def median_time(fn, *args, iters=10, warmup=1):
         t0 = time.perf_counter()
         float(fn(*args, i))
         ts.append(time.perf_counter() - t0)
-    return max(float(np.median(ts)) - base, 1e-9)
+    return np.maximum(np.asarray(ts) - base, 1e-9)
+
+
+def median_time(fn, *args, iters=10, warmup=1):
+    """fn(*args, i) -> scalar; returns median true seconds per call."""
+    return float(np.median(timed_samples(fn, *args, iters=iters,
+                                         warmup=warmup)))
 
 
 def bench_backend(graph, meta, backend: str, batch: int, iters: int,
@@ -156,13 +163,28 @@ def bench_backend(graph, meta, backend: str, batch: int, iters: int,
         params, opt_state, loss = cf_step(params, opt_state, att, i)
         return loss
 
-    t_step = median_time(run_step, iters=iters)
+    # Headline metric: TWO back-to-back sample passes (VERDICT r4 item 3).
+    # The official value is the median of ALL samples; the two pass
+    # medians + min + relative spread go in the JSON so a future reader
+    # can distinguish regression from chip noise. BENCH_r04 sat 15% off a
+    # same-day measurement while the documented noise band was ±6% — the
+    # old single 10-iter median could not tell which number was real.
+    n_step = max(iters, 20)
+    s1 = timed_samples(run_step, iters=n_step)
+    s2 = timed_samples(run_step, iters=n_step, warmup=0)
+    all_s = np.concatenate([s1, s2])
+    t_step = float(np.median(all_s))
+    m1, m2 = float(np.median(s1)), float(np.median(s2))
+    spread = abs(m1 - m2) / min(m1, m2)
 
     return {
         "t_attention_s": t_att,
         "t_staging_s": t_staging,
         "t_forward_s": t_fwd,
         "t_cf_step_s": t_step,
+        "t_cf_step_min_s": float(all_s.min()),
+        "t_cf_step_pass_medians_s": (m1, m2),
+        "cf_step_rerun_spread": spread,
         "attention_edges_per_s": E / t_att,
         "forward_edges_per_s": L * E / t_fwd,
         "cf_step_edges_per_s": L * E / t_step,
@@ -444,7 +466,7 @@ def bench_serving(graph, meta, backend: str, iters: int, block: int = 2048,
     the forward latency and the steady-state scoring rate in users/s.
     """
     from kgat_tpu.models import kgat
-    from kgat_tpu.recommend import _forward, _score_block
+    from kgat_tpu.recommend import Recommender, _forward, _score_block
 
     cd = jnp.bfloat16 if (backend == "pallas"
                           and compute_dtype == "bf16") else None
@@ -454,7 +476,11 @@ def bench_serving(graph, meta, backend: str, iters: int, block: int = 2048,
     fwd_timed = jax.jit(lambda p, i: jnp.sum(
         _forward(cfg, p, graph).astype(jnp.float32)) * 1e-20 + i)
     t_fwd = median_time(fwd_timed, params, iters=iters)
-    all_embed = jax.jit(lambda p: _forward(cfg, p, graph))(params)
+    # The serving API caches this forward across recommend() calls
+    # (Recommender, r5): steady-state per-request cost is the blocked
+    # score+top-K below; t_fwd is paid only on refresh().
+    rec = Recommender(params, graph, meta, cfg)
+    all_embed = rec.all_embed
 
     user_nodes = jnp.asarray(
         meta.user_node(np.arange(block) % meta.n_users), jnp.int32)
@@ -470,6 +496,8 @@ def bench_serving(graph, meta, backend: str, iters: int, block: int = 2048,
         "serving_users_per_s": round(block / t_score),
         "serving_t_forward_ms": round(t_fwd * 1e3, 3),
         "serving_t_score_block_ms": round(t_score * 1e3, 3),
+        "serving_forward_cached": True,  # Recommender caches the staged
+        # forward across calls; refresh() invalidates on new params
         "serving_block": block,
         "serving_k": k,
     }
@@ -590,6 +618,20 @@ def main(argv=None):
             with open(cache_path, "w") as f:
                 json.dump(ref_cache, f, indent=1, sort_keys=True)
 
+    # Reproducibility guard (VERDICT r4 item 3): the headline is the
+    # median over two back-to-back sample passes; if the two pass medians
+    # disagree beyond the documented run-to-run band, say so LOUDLY — a
+    # single quiet number cannot distinguish regression from chip noise.
+    NOISE_BAND = 0.06
+    spread = res["cf_step_rerun_spread"]
+    alarm = spread > NOISE_BAND
+    if alarm:
+        m1, m2 = res["t_cf_step_pass_medians_s"]
+        print(f"# VARIANCE ALARM: back-to-back cf_step medians "
+              f"{m1*1e3:.1f} / {m2*1e3:.1f} ms differ by "
+              f"{spread:.1%} (> documented ±{NOISE_BAND:.0%} band) — "
+              f"treat this run's value as noisy", file=sys.stderr)
+
     out = {
         "metric": "cf_step_edges_per_s",
         "value": round(res["cf_step_edges_per_s"]),
@@ -602,6 +644,12 @@ def main(argv=None):
         "attention_edges_per_s": round(res["attention_edges_per_s"]),
         "forward_edges_per_s": round(res["forward_edges_per_s"]),
         "t_cf_step_ms": round(res["t_cf_step_s"] * 1e3, 3),
+        "t_cf_step_min_ms": round(res["t_cf_step_min_s"] * 1e3, 3),
+        "t_cf_step_pass_medians_ms": [
+            round(x * 1e3, 3) for x in res["t_cf_step_pass_medians_s"]],
+        "cf_step_spread_pct": round(spread * 100, 2),
+        "variance_alarm": alarm,
+        "graph_cache_state": LAST_BUILD_STAGES.get("graph_cache", "off"),
         "t_attention_ms": round(res["t_attention_s"] * 1e3, 3),
         "t_staging_ms": round(res["t_staging_s"] * 1e3, 3),
         "t_forward_ms": round(res["t_forward_s"] * 1e3, 3),

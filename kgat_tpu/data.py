@@ -95,9 +95,12 @@ class Dataset:
             path = os.path.join(cache_dir, f"ckg-{h.hexdigest()[:16]}.npz")
             if os.path.exists(path):
                 import zipfile
+
+                from kgat_tpu.graph import LAST_BUILD_STAGES
                 try:
                     g, meta = load_graph(path)
                     if meta is not None:
+                        LAST_BUILD_STAGES["graph_cache"] = "warm"
                         return g, meta
                 except (ValueError, KeyError, OSError, EOFError,
                         zipfile.BadZipFile):
@@ -113,10 +116,11 @@ class Dataset:
             # Pre-build the coalesced layouts so the cache carries them —
             # the production SpMM reduces over them every run, and without
             # this the host rebuilt them from scratch on every start.
-            from kgat_tpu.graph import build_coalesced
+            from kgat_tpu.graph import LAST_BUILD_STAGES, build_coalesced
             build_coalesced(g)
             os.makedirs(cache_dir, exist_ok=True)
             save_graph(path, g, meta)
+            LAST_BUILD_STAGES["graph_cache"] = "cold"
         return g, meta
 
 

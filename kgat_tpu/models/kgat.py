@@ -308,6 +308,24 @@ def cf_loss(params: Params, graph: Graph, edge_att: jax.Array, meta: CKGMeta,
 # KG (TransR) phase.
 # ---------------------------------------------------------------------------
 
+def kg_pair_terms_rows(eh: jax.Array, ep: jax.Array, en: jax.Array,
+                       e_r: jax.Array, w_r: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Row-based TransR core: per-pair loss terms from already-gathered
+    embedding rows — eh/ep/en (B, d) head/pos-tail/neg-tail rows, e_r
+    (B, k), w_r (B, d, k). Factored out so the sparse-Adam KG step can
+    differentiate w.r.t. the GATHERED rows (keeping the entity-table
+    gradient row-sparse) while the dense paths keep full-table grads."""
+    proj = lambda e: jnp.einsum("bd,bdk->bk", e, w_r)
+    ph, pp, pn = proj(eh), proj(ep), proj(en)
+    g_pos = jnp.sum((ph + e_r - pp) ** 2, axis=-1)
+    g_neg = jnp.sum((ph + e_r - pn) ** 2, axis=-1)
+    pair = -jax.nn.log_sigmoid(g_neg - g_pos)
+    ssq = sum(0.5 * jnp.sum(t.astype(jnp.float32) ** 2)
+              for t in (ph, e_r, pp, pn))
+    return pair, ssq
+
+
 def kg_pair_terms(params: Params, h: jax.Array, r: jax.Array,
                   t_pos: jax.Array, t_neg: jax.Array
                   ) -> Tuple[jax.Array, jax.Array]:
@@ -317,14 +335,7 @@ def kg_pair_terms(params: Params, h: jax.Array, r: jax.Array,
     emb = params["entity_embed"]
     w_r = params["w_rel"][r]                        # (B, d, k)
     e_r = params["rel_embed"][r]                    # (B, k)
-    proj = lambda e: jnp.einsum("bd,bdk->bk", e, w_r)
-    ph, pp, pn = proj(emb[h]), proj(emb[t_pos]), proj(emb[t_neg])
-    g_pos = jnp.sum((ph + e_r - pp) ** 2, axis=-1)
-    g_neg = jnp.sum((ph + e_r - pn) ** 2, axis=-1)
-    pair = -jax.nn.log_sigmoid(g_neg - g_pos)
-    ssq = sum(0.5 * jnp.sum(t.astype(jnp.float32) ** 2)
-              for t in (ph, e_r, pp, pn))
-    return pair, ssq
+    return kg_pair_terms_rows(emb[h], emb[t_pos], emb[t_neg], e_r, w_r)
 
 
 def kg_loss(params: Params, h: jax.Array, r: jax.Array, t_pos: jax.Array,

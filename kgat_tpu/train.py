@@ -172,6 +172,23 @@ class Trainer:
         def kg_loss_fn(params, h, r, tp, tn, w):
             return kgat.kg_loss(params, h, r, tp, tn, mcfg, weight=w)
 
+        if cfg.sparse_adam:
+            # Lazy row-sparse Adam for the KG phase (VERDICT r4 item 4):
+            # TransR touches <=3B entity rows per batch; the dense optax
+            # pass streams the full tables every step. Opt-in — TF-
+            # LazyAdam semantics, see kgat_tpu/optim.py.
+            from kgat_tpu.optim import make_sparse_kg_step
+            sparse_kg = make_sparse_kg_step(mcfg, cfg.lr)
+
+            def kg_update(params, opt_state, h, r, tp, tn, w):
+                return sparse_kg(params, opt_state, h, r, tp, tn, w)
+        else:
+            def kg_update(params, opt_state, h, r, tp, tn, w):
+                loss, grads = jax.value_and_grad(kg_loss_fn)(
+                    params, h, r, tp, tn, w)
+                updates, opt_state = opt.update(grads, opt_state)
+                return optax.apply_updates(params, updates), opt_state, loss
+
         # Epochs run as scans of device-side-sampled steps, but bounded to
         # CF_SCAN/KG_SCAN iterations per device call: one multi-minute XLA
         # execution trips worker/relay watchdogs (observed at Amazon-book
@@ -197,10 +214,8 @@ class Trainer:
                 params, opt_state = carry
                 h, r, tp, tn, w = sample_kg_batch(
                     self.kg_table, key, cfg.kg_batch_size)
-                loss, grads = jax.value_and_grad(kg_loss_fn)(
-                    params, h, r, tp, tn, w)
-                updates, opt_state = opt.update(grads, opt_state)
-                params = optax.apply_updates(params, updates)
+                params, opt_state, loss = kg_update(
+                    params, opt_state, h, r, tp, tn, w)
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
@@ -225,10 +240,7 @@ class Trainer:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def kg_step_host(params, opt_state, h, r, tp, tn):
-            loss, grads = jax.value_and_grad(kg_loss_fn)(
-                params, h, r, tp, tn, None)
-            updates, opt_state = opt.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return kg_update(params, opt_state, h, r, tp, tn, None)
 
         @jax.jit
         def all_embed_fn(params, att):
@@ -261,6 +273,11 @@ class Trainer:
         from kgat_tpu.parallel.partition import partition_graph
 
         cfg, graph, meta = self.cfg, self.graph, self.meta
+        if cfg.sparse_adam:
+            raise ValueError(
+                "--sparse-adam is single-device only: the data-parallel "
+                "KG scan psums DENSE grad trees across replicas "
+                "(parallel/dp.py); drop the flag or --n-devices")
         g = graph
         coo = graph_mod.host_coo(g)
         src, dst, ety = coo["src"], coo["dst"], coo["etype"]

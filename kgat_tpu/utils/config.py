@@ -34,6 +34,10 @@ class TrainConfig:
     test_block: int = 2048
     seed: int = 1234
     sampler: str = "device"             # device | host
+    sparse_adam: bool = False           # lazy row-sparse Adam for the KG
+                                        # phase (TF-LazyAdam semantics;
+                                        # default OFF = dense optax.adam,
+                                        # the reference semantics)
     # infra
     log_dir: Optional[str] = "runs"
     run_name: str = "kgat"
@@ -129,6 +133,12 @@ def parse_args(argv=None) -> TrainConfig:
                         "the early-stopping metric")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--sampler", default=None, choices=["device", "host"])
+    p.add_argument("--sparse-adam", action="store_true", default=None,
+                   help="lazy row-sparse Adam for the KG phase: update "
+                        "entity-embedding moments only for rows the "
+                        "batch touches (TF-LazyAdam semantics; the "
+                        "TransR loss reaches <=3B of ~150k rows). "
+                        "Default off = dense optax.adam everywhere")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--run-name", default=None)
     p.add_argument("--resume", action="store_true")
@@ -167,7 +177,8 @@ def parse_args(argv=None) -> TrainConfig:
     cfg = TrainConfig(**PRESETS[a.preset]) if a.preset else TrainConfig()
     for field in ("dataset", "data_root", "lr", "cf_batch_size",
                   "kg_batch_size", "epochs", "eval_every", "stopping_steps",
-                  "k", "seed", "sampler", "log_dir", "run_name", "n_devices",
+                  "k", "seed", "sampler", "sparse_adam", "log_dir",
+                  "run_name", "n_devices",
                   "dp_replicas",
                   "halo_exchange", "ring_transport", "pretrain_path",
                   "profile_epochs",

@@ -1,0 +1,92 @@
+"""On-chip probe: KG-step time, dense optax.adam vs the lazy row-sparse
+Adam (--sparse-adam, kgat_tpu/optim.py) — VERDICT r4 item 4.
+
+Times the EXACT trainer KG hot loop (device order-statistics sampler +
+loss + update, one jitted call) both ways, plus the CF step (which the
+flag must NOT change — its grads are dense through propagation).
+Honest-timing conventions per bench.py.
+
+Run on the real chip:  python tools/probe_sparse_adam.py [--preset yelp2018]
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax                   # noqa: E402
+import jax.numpy as jnp      # noqa: E402
+import optax                 # noqa: E402
+
+from bench import build, median_time  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="yelp2018")
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--iters", type=int, default=20)
+    a = ap.parse_args()
+
+    from kgat_tpu.graph import host_coo
+    from kgat_tpu.models import kgat
+    from kgat_tpu.optim import make_sparse_kg_step
+    from kgat_tpu.sampler import KGSampleTable, sample_kg_batch
+
+    dev = jax.devices()[0]
+    print(f"# probe on {dev.platform}:{dev.device_kind} "
+          f"preset={a.preset} B={a.batch}")
+    ds, graph, meta = build(a.preset, cache_dir="runs/gcache")
+    cfg = kgat.KGATConfig(ops_backend="pallas", compute_dtype=jnp.bfloat16)
+    params = kgat.init_params(jax.random.key(0), meta.n_nodes,
+                              meta.n_relations, cfg)
+    opt = optax.adam(1e-4)
+
+    coo = host_coo(graph)
+    tri = np.stack([coo["dst"], coo["etype"], coo["src"]], axis=1)
+    table = KGSampleTable.build(tri, meta.n_nodes, meta.n_relations)
+
+    def kg_loss_fn(p, h, r, tp, tn, w):
+        return kgat.kg_loss(p, h, r, tp, tn, cfg, weight=w)
+
+    sparse_step = make_sparse_kg_step(cfg, 1e-4)
+
+    def make_runner(update):
+        st = {"p": params, "o": opt.init(params)}
+
+        @jax.jit
+        def step(p, o, i):
+            h, r, tp, tn, w = sample_kg_batch(
+                table, jax.random.fold_in(jax.random.key(7), i), a.batch)
+            p, o, loss = update(p, o, h, r, tp, tn, w)
+            return p, o, loss
+
+        def run(i):
+            st["p"], st["o"], loss = step(st["p"], st["o"], i)
+            return loss
+        return run
+
+    def dense_update(p, o, h, r, tp, tn, w):
+        loss, grads = jax.value_and_grad(kg_loss_fn)(p, h, r, tp, tn, w)
+        updates, o = opt.update(grads, o)
+        return optax.apply_updates(p, updates), o, loss
+
+    t_dense = median_time(make_runner(dense_update), iters=a.iters)
+    t_sparse = median_time(make_runner(sparse_step), iters=a.iters)
+    print(f"kg_step dense  adam: {t_dense * 1e3:7.2f} ms")
+    print(f"kg_step sparse adam: {t_sparse * 1e3:7.2f} ms   "
+          f"({t_dense / t_sparse:.2f}x)")
+
+    # CF step must be unchanged by the flag (same code path) — time it
+    # once as the control anchor for the record.
+    from bench import bench_backend
+    res = bench_backend(graph, meta, "pallas", 1024, 10)
+    print(f"cf_step (flag-independent control): "
+          f"{res['t_cf_step_s'] * 1e3:.1f} ms  "
+          f"spread {res['cf_step_rerun_spread']:.1%}")
+
+
+if __name__ == "__main__":
+    main()
