@@ -44,9 +44,12 @@ stage() {
   fi
 }
 
-# 0. wait for the evidence queue to finish (releases the chip)
-note "phase2: waiting for EVIDENCE_QUEUE_R5_DONE"
-while ! grep -q EVIDENCE_QUEUE_R5_DONE "$LOG"; do sleep 60; done
+# 0. wait for the evidence queue to finish (releases the chip).
+# NB: the marker must be matched with its note() prefix ("] MARKER" at
+# the start of the payload) — a first version of this script grepped the
+# bare string and immediately matched its OWN "waiting for ..." line.
+note "phase2: waiting for queue-done marker"
+while ! grep -q "] EVIDENCE_QUEUE_R5_DONE" "$LOG"; do sleep 60; done
 note "phase2: chip free, starting"
 
 # 3. sparse-Adam quality parity at mid-plateau scale (same recipe as the
