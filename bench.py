@@ -528,7 +528,11 @@ def main(argv=None):
     p.add_argument("--ici-gbs", type=float, default=ICI_GB_S,
                    help="per-direction ICI GB/s for the analytic model")
     p.add_argument("--batch", type=int, default=1024)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=10,
+                   help="timing samples per stage. NB the headline "
+                        "cf_step always runs TWO back-to-back passes of "
+                        "max(iters, 20) samples each (the reproducibility "
+                        "guard), regardless of this flag")
     p.add_argument("--compute-dtype", default="bf16",
                    choices=["f32", "bf16"],
                    help="pallas SpMM value-stream dtype (production "

@@ -100,6 +100,9 @@ class Dataset:
                 try:
                     g, meta = load_graph(path)
                     if meta is not None:
+                        # clear stale stage timings from any earlier cold
+                        # build in this process before flagging warm
+                        LAST_BUILD_STAGES.clear()
                         LAST_BUILD_STAGES["graph_cache"] = "warm"
                         return g, meta
                 except (ValueError, KeyError, OSError, EOFError,

@@ -47,12 +47,33 @@ B1, B2, EPS = 0.9, 0.999, 1e-8
 
 
 def _adam_state_index(opt_state) -> int:
-    """Locate ScaleByAdamState inside the optax chain state tuple."""
+    """Locate ScaleByAdamState inside the optax chain state tuple.
+
+    The sparse step hardcodes plain ``optax.adam(lr)`` math (B1/B2/EPS
+    above, no weight decay, no clipping), so it must only accept the
+    exact state shape that optimizer produces: a chain whose ONLY
+    stateful transform is scale_by_adam. A chain with extra stateful
+    links (adamw's weight decay, clip_by_global_norm, ...) would
+    silently train differently — reject it loudly instead.
+    """
+    idx = None
     for i, s in enumerate(opt_state):
-        if hasattr(s, "mu") and hasattr(s, "nu") and hasattr(s, "count"):
-            return i
-    raise ValueError("opt_state contains no ScaleByAdamState — "
-                     "--sparse-adam requires the optax.adam optimizer")
+        named = type(s).__name__
+        if named == "ScaleByAdamState":
+            idx = i if idx is None else idx
+            if idx != i:
+                raise ValueError("--sparse-adam: multiple adam states in "
+                                 "the optimizer chain")
+        elif named not in ("EmptyState", "ScaleState",
+                           "ScaleByLearningRateState"):
+            raise ValueError(
+                f"--sparse-adam supports plain optax.adam only; found "
+                f"{named} in the optimizer chain (weight decay / clipping "
+                f"/ schedules would be silently dropped)")
+    if idx is None:
+        raise ValueError("opt_state contains no ScaleByAdamState — "
+                         "--sparse-adam requires the optax.adam optimizer")
+    return idx
 
 
 def _dense_adam_rows(p, g, m, v, count, lr):

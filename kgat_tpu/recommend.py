@@ -68,7 +68,8 @@ def _validate(params, meta, cfg, users):
         raise ValueError("no users given")
     if (users < 0).any() or (users >= meta.n_users).any():
         raise ValueError(f"user ids must be in [0, {meta.n_users})")
-    n_rows, d0 = np.asarray(params["entity_embed"]).shape
+    # shape only — np.asarray here would D2H the whole table per call
+    n_rows, d0 = params["entity_embed"].shape
     if n_rows != meta.n_nodes:
         raise ValueError(
             f"checkpoint embedding table has {n_rows} rows but the built "

@@ -73,11 +73,27 @@ def main():
         updates, o = opt.update(grads, o)
         return optax.apply_updates(p, updates), o, loss
 
-    t_dense = median_time(make_runner(dense_update), iters=a.iters)
-    t_sparse = median_time(make_runner(sparse_step), iters=a.iters)
-    print(f"kg_step dense  adam: {t_dense * 1e3:7.2f} ms")
-    print(f"kg_step sparse adam: {t_sparse * 1e3:7.2f} ms   "
-          f"({t_dense / t_sparse:.2f}x)")
+    # Two back-to-back passes per variant, interleaved dense/sparse/
+    # dense/sparse so chip-state drift hits both variants alike; report
+    # per-variant spread (the bench.py reproducibility convention).
+    run_d, run_s = make_runner(dense_update), make_runner(sparse_step)
+    from bench import timed_samples
+    d1 = timed_samples(run_d, iters=a.iters)
+    s1 = timed_samples(run_s, iters=a.iters)
+    d2 = timed_samples(run_d, iters=a.iters, warmup=0)
+    s2 = timed_samples(run_s, iters=a.iters, warmup=0)
+    t_dense = float(np.median(np.concatenate([d1, d2])))
+    t_sparse = float(np.median(np.concatenate([s1, s2])))
+    sp_d = abs(np.median(d1) - np.median(d2)) / min(np.median(d1),
+                                                    np.median(d2))
+    sp_s = abs(np.median(s1) - np.median(s2)) / min(np.median(s1),
+                                                    np.median(s2))
+    print(f"kg_step dense  adam: {t_dense * 1e3:7.2f} ms  "
+          f"(pass medians {np.median(d1)*1e3:.2f}/{np.median(d2)*1e3:.2f},"
+          f" spread {sp_d:.1%})")
+    print(f"kg_step sparse adam: {t_sparse * 1e3:7.2f} ms  "
+          f"(pass medians {np.median(s1)*1e3:.2f}/{np.median(s2)*1e3:.2f},"
+          f" spread {sp_s:.1%})   ({t_dense / t_sparse:.2f}x)")
 
     # CF step must be unchanged by the flag (same code path) — time it
     # once as the control anchor for the record.
