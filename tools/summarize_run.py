@@ -1,11 +1,11 @@
 """Extract a compact, committable evidence trail from a run's JSONL log.
 
-Training logs under ``runs/`` are gitignored (checkpoints are large and the
-working tree is wiped between build sessions), so convergence evidence —
-the epochs-vs-recall@K trajectory the quality baseline (BASELINE.md) cites —
-must be distilled into something small and tracked. This keeps the eval
-events (plus the start/resume/done markers and an epoch-timing digest) and
-drops the per-epoch loss spam: a multi-hour campaign compresses to a few KB.
+Since round 4 the run JSONLs themselves are git-tracked (the r3 evidence
+losses — see BASELINE.md "Evidence policy"), so this is now a REPORTING
+aid rather than the only evidence trail: it keeps the eval events (plus
+the start/resume/done markers and an epoch-timing digest) and drops the
+per-epoch loss spam, compressing a multi-hour campaign to a few KB for
+quoting in BASELINE.md.
 
 Usage:
     python tools/summarize_run.py runs/amazon-r2c5.jsonl \
