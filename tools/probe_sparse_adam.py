@@ -27,8 +27,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="yelp2018")
     ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--scan-n", type=int, default=64,
+                    help="KG steps per device call (trainer chunks 512; "
+                         "64 keeps one timed call ~100 ms)")
     a = ap.parse_args()
+    SCAN_N = a.scan_n
 
     from kgat_tpu.graph import host_coo
     from kgat_tpu.models import kgat
@@ -54,17 +58,26 @@ def main():
     sparse_step = make_sparse_kg_step(cfg, 1e-4)
 
     def make_runner(update):
+        """Time a SCAN of SCAN_N sampled steps per device call — the
+        trainer's actual shape (kg_scan chunks 512 steps/call; per-call
+        single-step timing here is dispatch/alloc-dominated and measured
+        224% spread on the dense path). Reported time is per STEP."""
         st = {"p": params, "o": opt.init(params)}
 
         @jax.jit
-        def step(p, o, i):
-            h, r, tp, tn, w = sample_kg_batch(
-                table, jax.random.fold_in(jax.random.key(7), i), a.batch)
-            p, o, loss = update(p, o, h, r, tp, tn, w)
-            return p, o, loss
+        def scan_steps(p, o, i):
+            def body(carry, k):
+                p, o = carry
+                h, r, tp, tn, w = sample_kg_batch(table, k, a.batch)
+                p, o, loss = update(p, o, h, r, tp, tn, w)
+                return (p, o), loss
+            keys = jax.random.split(jax.random.fold_in(jax.random.key(7),
+                                                       i), SCAN_N)
+            (p, o), losses = jax.lax.scan(body, (p, o), keys)
+            return p, o, jnp.sum(losses)
 
         def run(i):
-            st["p"], st["o"], loss = step(st["p"], st["o"], i)
+            st["p"], st["o"], loss = scan_steps(st["p"], st["o"], i)
             return loss
         return run
 
@@ -82,6 +95,7 @@ def main():
     s1 = timed_samples(run_s, iters=a.iters)
     d2 = timed_samples(run_d, iters=a.iters, warmup=0)
     s2 = timed_samples(run_s, iters=a.iters, warmup=0)
+    d1, d2, s1, s2 = (x / SCAN_N for x in (d1, d2, s1, s2))  # per step
     t_dense = float(np.median(np.concatenate([d1, d2])))
     t_sparse = float(np.median(np.concatenate([s1, s2])))
     sp_d = abs(np.median(d1) - np.median(d2)) / min(np.median(d1),
