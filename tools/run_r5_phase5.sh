@@ -1,5 +1,6 @@
 #!/bin/bash
-# Round-5 phase 5 (after phase 4): fresh on-chip Mosaic validation of the
+# Round-5 phase 5 (after phase 6 — reordered so the decisive sparse-Adam
+# A/B runs first): fresh on-chip Mosaic validation of the
 # full kernel surface (make tpu-smoke) for the round record — no kernel
 # changed this round, but the round's record should carry a same-code
 # chip validation next to its bench numbers.
@@ -10,8 +11,8 @@ exec >>"$LOG" 2>&1
 
 note() { echo "[$(date -u +%H:%M:%S)] $*"; }
 
-note "phase5: waiting for phase4-done marker"
-while ! grep -q "] PHASE4_R5_DONE" "$LOG"; do sleep 60; done
+note "phase5: waiting for phase6-done marker"
+while ! grep -q "] PHASE6_R5_DONE" "$LOG"; do sleep 60; done
 note "phase5: chip free, starting tpu-smoke"
 
 timeout 1800 python tpu_smoke.py > runs/tpu_smoke_r5.txt 2>&1 \

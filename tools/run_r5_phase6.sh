@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-5 phase 6 (after phase 5): decisive sparse-Adam measurements.
+# Round-5 phase 6 (after phase 4 — reordered ahead of tpu-smoke): decisive sparse-Adam measurements.
 #  - re-run tools/probe_sparse_adam.py with SCAN-based timing (the first
 #    run timed single dispatch-bound calls: dense pass medians 6.46/1.99
 #    ms = 224% spread — the trainer runs KG steps inside 512-step scans,
@@ -23,8 +23,8 @@ commit_runs() {
   note "commit FAILED: $msg"
 }
 
-note "phase6: waiting for phase5-done marker"
-while ! grep -q "] PHASE5_R5_DONE" "$LOG"; do sleep 60; done
+note "phase6: waiting for phase4-done marker"
+while ! grep -q "] PHASE4_R5_DONE" "$LOG"; do sleep 60; done
 note "phase6: chip free, starting"
 
 note "stage sadam-probe-scan: start"
